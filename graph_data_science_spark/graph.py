@@ -1,0 +1,264 @@
+"""Graph data model: IdMap, orientation, aggregation, degrees.
+
+Semantics mirror the reference (Neo4j GDS ~1.6):
+- dense internal ids assigned in ascending original-id order
+  (ref: core/.../core/loading/IdMap.java:49-114 — sorted assignment
+  guarantees reproducible results),
+- Orientation NATURAL / REVERSE / UNDIRECTED
+  (ref: core/.../Orientation.java:30-32; UNDIRECTED stores both directions),
+- parallel-edge Aggregation DEFAULT|NONE|SINGLE|SUM|MIN|MAX|COUNT
+  (ref: core/.../core/Aggregation.java:28-83; DEFAULT resolves to NONE),
+- weighted degree sums only *positive* weights
+  (ref: algo/.../degree/DegreeCentrality.java:117-126).
+
+Execution is Spark-first: the id map is a two-pass distributed dense-rank
+(per-partition counts -> cumulative offsets -> offset add), NOT a
+single-partition window, so it scales to 10^9+ vertices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+NATURAL = "NATURAL"
+REVERSE = "REVERSE"
+UNDIRECTED = "UNDIRECTED"
+ORIENTATIONS = (NATURAL, REVERSE, UNDIRECTED)
+
+AGGREGATIONS = ("DEFAULT", "NONE", "SINGLE", "SUM", "MIN", "MAX", "COUNT")
+
+
+def dense_ids(df: DataFrame, id_col: str, out_col: str = "internal_id") -> DataFrame:
+    """Assign dense internal ids [0, n) ascending in ``id_col`` order.
+
+    Scalable sort-based assignment: range-repartition by the id column,
+    sort within partitions, then add cumulative per-partition offsets
+    computed from partition row counts. Equivalent to
+    ``row_number() over (order by id) - 1`` but without the
+    single-partition global window.
+    """
+    distinct = df.select(id_col).distinct()
+    # range partitioning gives globally ordered partitions
+    parts = max(distinct.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = distinct.repartitionByRange(parts, F.col(id_col)).sortWithinPartitions(id_col)
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = (
+        ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    )  # tiny: one row per partition
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+
+    schema = StructType(
+        list(ranged.select(id_col).schema.fields) + [StructField(out_col, LongType(), False)]
+    )
+
+    def add_offsets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})[
+                    [id_col, out_col]
+                ]
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            base = offsets.get(pid, 0)
+            out = pdf[[id_col]].copy()
+            out[out_col] = range(base, base + len(pdf))
+            yield out
+
+    return ranged.mapInPandas(add_offsets, schema)
+
+
+@dataclass
+class Graph:
+    """An algorithm-ready graph: dense-id vertex + edge DataFrames.
+
+    ``vertices``: (internal_id long, original_id <any>, ...properties)
+    ``edges``:    (src long, dst long, weight double) — already oriented
+                  and aggregated per the projection config.
+    """
+
+    vertices: DataFrame
+    edges: DataFrame
+    orientation: str = NATURAL
+    is_multigraph: bool = True
+    meta: dict = field(default_factory=dict)
+
+    _node_count: int | None = None
+    _rel_count: int | None = None
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.vertices.sparkSession
+
+    def node_count(self) -> int:
+        if self._node_count is None:
+            self._node_count = self.vertices.count()
+        return self._node_count
+
+    def relationship_count(self) -> int:
+        if self._rel_count is None:
+            self._rel_count = self.edges.count()
+        return self._rel_count
+
+    # --- degrees -----------------------------------------------------
+    def out_degrees(self, weighted: bool = False) -> DataFrame:
+        """(internal_id, degree). Weighted degree sums positive weights only
+        (ref: degree/DegreeCentrality.java:117-126)."""
+        if weighted:
+            deg = self.edges.groupBy("src").agg(
+                F.sum(F.when(F.col("weight") > 0, F.col("weight")).otherwise(0.0)).alias(
+                    "degree"
+                )
+            )
+        else:
+            deg = self.edges.groupBy("src").agg(
+                F.count(F.lit(1)).cast("double").alias("degree")
+            )
+        return (
+            self.vertices.select("internal_id")
+            .join(deg, self.vertices.internal_id == deg.src, "left")
+            .select("internal_id", F.coalesce("degree", F.lit(0.0)).alias("degree"))
+        )
+
+    def with_vertex_column(self, name: str, values: DataFrame) -> "Graph":
+        """mutate-mode: attach (internal_id, <name>) as a vertex property."""
+        joined = self.vertices.join(
+            values.withColumnRenamed(values.columns[-1], name), "internal_id", "left"
+        )
+        return Graph(
+            joined, self.edges, self.orientation, self.is_multigraph, dict(self.meta)
+        )
+
+
+def orient_edges(edges: DataFrame, orientation: str) -> DataFrame:
+    """Apply orientation (ref: Orientation.java:30-32).
+
+    UNDIRECTED unions both directions — GDS stores both; triangle counting
+    and undirected WCC rely on this.
+    """
+    if orientation == NATURAL:
+        return edges
+    cols = [c for c in edges.columns if c not in ("src", "dst")]
+    if orientation == REVERSE:
+        return edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), *cols
+        )
+    if orientation == UNDIRECTED:
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), *cols)
+        return edges.select("src", "dst", *cols).unionByName(rev)
+    raise ValueError(f"unknown orientation {orientation!r}")
+
+
+def aggregate_edges(edges: DataFrame, aggregation: str = "DEFAULT") -> DataFrame:
+    """Collapse parallel edges (ref: core/.../core/Aggregation.java:28-83).
+
+    DEFAULT -> NONE (keep parallel edges, ref :142). SINGLE keeps an
+    arbitrary-but-deterministic representative (min weight for stability).
+    """
+    aggregation = aggregation.upper()
+    if aggregation not in AGGREGATIONS:
+        raise ValueError(f"unknown aggregation {aggregation!r}")
+    if aggregation in ("DEFAULT", "NONE"):
+        return edges
+    agg_expr = {
+        "SINGLE": F.min("weight"),
+        "SUM": F.sum("weight"),
+        "MIN": F.min("weight"),
+        "MAX": F.max("weight"),
+        "COUNT": F.count(F.lit(1)).cast("double"),
+    }[aggregation]
+    return edges.groupBy("src", "dst").agg(agg_expr.alias("weight"))
+
+
+def from_edge_list(
+    spark: SparkSession,
+    edges: list[tuple],
+    *,
+    orientation: str = NATURAL,
+    aggregation: str = "DEFAULT",
+    node_ids: list | None = None,
+) -> Graph:
+    """Build a Graph from python tuples (src, dst[, weight]) of original ids.
+
+    Test/fixture helper — the GDL-fixture equivalent
+    (ref: test-utils/.../gdl/GdlFactory.java:77).
+    Ids are mapped to dense longs in sorted original-id order.
+    """
+    rows = [
+        (str(e[0]), str(e[1]), float(e[2]) if len(e) > 2 else 1.0) for e in edges
+    ]
+    edf = spark.createDataFrame(rows, "src_orig string, dst_orig string, weight double")
+    nodes = edf.select(F.col("src_orig").alias("original_id")).unionByName(
+        edf.select(F.col("dst_orig").alias("original_id"))
+    )
+    if node_ids is not None:
+        extra = spark.createDataFrame(
+            [(str(n),) for n in node_ids], "original_id string"
+        )
+        nodes = nodes.unionByName(extra)
+    idmap = dense_ids(nodes, "original_id")
+    vertices = idmap.select("internal_id", "original_id")
+    mapped = (
+        edf.join(idmap.withColumnRenamed("original_id", "src_orig"), "src_orig")
+        .withColumnRenamed("internal_id", "src")
+        .join(idmap.withColumnRenamed("original_id", "dst_orig"), "dst_orig")
+        .withColumnRenamed("internal_id", "dst")
+        .select("src", "dst", "weight")
+    )
+    mapped = aggregate_edges(orient_edges(mapped, orientation), aggregation)
+    g = Graph(
+        vertices.cache(),
+        mapped.cache(),
+        orientation=orientation,
+        is_multigraph=aggregation in ("DEFAULT", "NONE"),
+    )
+    return g
+
+
+def from_edge_df(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    orientation: str = NATURAL,
+    aggregation: str = "DEFAULT",
+) -> Graph:
+    """Build a Graph from an arbitrary edge DataFrame whose endpoints are
+    already (or will be mapped to) dense longs.
+
+    If endpoint ids are not dense longs, they are id-mapped with
+    :func:`dense_ids` (sorted assignment, deterministic).
+    """
+    e = edges.select(
+        F.col(src).alias("src_orig"),
+        F.col(dst).alias("dst_orig"),
+        (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("weight"),
+    )
+    nodes = e.select(F.col("src_orig").alias("original_id")).unionByName(
+        e.select(F.col("dst_orig").alias("original_id"))
+    )
+    idmap = dense_ids(nodes, "original_id").cache()
+    vertices = idmap.select("internal_id", "original_id")
+    mapped = (
+        e.join(idmap.withColumnRenamed("original_id", "src_orig"), "src_orig")
+        .withColumnRenamed("internal_id", "src")
+        .join(idmap.withColumnRenamed("original_id", "dst_orig"), "dst_orig")
+        .withColumnRenamed("internal_id", "dst")
+        .select("src", "dst", "weight")
+    )
+    mapped = aggregate_edges(orient_edges(mapped, orientation), aggregation)
+    return Graph(
+        vertices,
+        mapped,
+        orientation=orientation,
+        is_multigraph=aggregation in ("DEFAULT", "NONE"),
+    )
