@@ -1,0 +1,219 @@
+"""The Pregel-style superstep kernel — the engine's one custom operator.
+
+API mirrors the reference's PregelComputation contract
+(ref: core/.../beta/pregel/PregelComputation.java:38-117 — init/compute/
+reducer/applyRelationshipWeight; run loop Pregel.java:137-165; vote/wake
+ComputeStep.java:99-103) re-expressed for Spark's execution model:
+
+superstep t =
+    scatter : frontier state ⋈ routing → explode(pids) → groupBy(pid)
+              cogroup CSR blocks → vectorized numpy message generation
+              with **block-local pre-reduce** (the map-side combine),
+    gather  : groupBy(vertex).agg(<associative reducer>)  — one shuffle,
+    apply   : state ⋈ messages → column expressions (JVM-side),
+    persist : checkpoint parquet write + re-read (plan truncation + resume)
+              or localCheckpoint,
+    metrics : one per-partition aggregate job → lineage rows
+              (iteration, partition_id, rows, delta_norm, wall_time)
+              + global L1/frontier counts for convergence.
+
+Messages are doubles and reducers are Sum/Min/Max/Count, exactly the
+reference's reducing-messenger surface (ref: beta/pregel/Reducer.java:44-126).
+Convergence = empty frontier (≡ "no messages sent ∧ all voted to halt",
+ref: beta/pregel/PartitionedComputer.java:77-82) or an algorithm-supplied
+predicate over the metrics (e.g. L1 norm ≤ tol).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .checkpoint import CheckpointStore, Timer
+from .csr import CsrGraph, expand_ranges
+
+MSG_SCHEMA = "vertex long, msg double"
+
+_LOCAL_REDUCE = {
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+    "count": "count",
+}
+_GLOBAL_REDUCE = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.sum,  # counts pre-counted locally; combine by summing
+}
+
+
+@dataclass
+class PregelResult:
+    state: DataFrame
+    ran_iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _scatter_messages(
+    csr: CsrGraph,
+    state: DataFrame,
+    iteration: int,
+    scatter_cols: list[str],
+    scatter_fn: Callable,
+    reducer: str,
+    frontier_cond: Column | None,
+) -> DataFrame:
+    frontier = state.filter(frontier_cond) if frontier_cond is not None else state
+    routed = (
+        frontier.join(csr.routing, frontier.vertex == csr.routing.src)
+        .select(F.explode("pids").alias("pid"), "vertex", *scatter_cols)
+    )
+
+    local_reduce = _LOCAL_REDUCE[reducer]
+
+    def scatter_udf(key, block_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        if len(block_pdf) == 0 or len(state_pdf) == 0:
+            return pd.DataFrame({"vertex": pd.Series(dtype="int64"),
+                                 "msg": pd.Series(dtype="float64")})
+        sv = state_pdf["vertex"].to_numpy(np.int64)
+        cols = {c: state_pdf[c].to_numpy(np.float64) for c in scatter_cols}
+        outs = []
+        for row in block_pdf.itertuples(index=False):
+            src_ids = np.frombuffer(row.src_ids, dtype=np.int64)
+            offsets = np.frombuffer(row.offsets, dtype=np.int64)
+            dsts = np.frombuffer(row.dsts, dtype=np.int64)
+            weights = np.frombuffer(row.weights, dtype=np.float64)
+            pos = np.searchsorted(src_ids, sv)
+            valid = (pos < len(src_ids))
+            valid[valid] &= src_ids[pos[valid]] == sv[valid]
+            if not valid.any():
+                continue
+            vpos = pos[valid]
+            starts, ends = offsets[vpos], offsets[vpos + 1]
+            counts = ends - starts
+            edge_idx = expand_ranges(starts, ends)
+            per_edge = {
+                c: np.repeat(vals[valid], counts) for c, vals in cols.items()
+            }
+            msg = scatter_fn(iteration, per_edge, weights[edge_idx])
+            outs.append(
+                pd.DataFrame({"vertex": dsts[edge_idx], "msg": msg})
+            )
+        if not outs:
+            return pd.DataFrame({"vertex": pd.Series(dtype="int64"),
+                                 "msg": pd.Series(dtype="float64")})
+        all_msgs = pd.concat(outs, ignore_index=True)
+        # NaN message == "no message" (reducing-messenger sentinel semantics)
+        all_msgs = all_msgs.dropna(subset=["msg"])
+        # block-local pre-reduce: the map-side combine of the Pregel reducer
+        reduced = getattr(
+            all_msgs.groupby("vertex", sort=False)["msg"], local_reduce
+        )().reset_index()
+        reduced["msg"] = reduced["msg"].astype("float64")
+        return reduced
+
+    grouped_blocks = csr.blocks.groupby("pid")
+    grouped_state = routed.groupby("pid")
+    msgs = grouped_blocks.cogroup(grouped_state).applyInPandas(
+        scatter_udf, MSG_SCHEMA
+    )
+    global_agg = _GLOBAL_REDUCE[reducer]
+    return msgs.groupBy("vertex").agg(global_agg("msg").alias("msg"))
+
+
+def run_pregel(
+    csr: CsrGraph,
+    init_state: DataFrame,
+    *,
+    scatter_cols: list[str],
+    scatter_fn: Callable,
+    reducer: str,
+    apply_fn: Callable[[DataFrame, DataFrame, int], DataFrame],
+    frontier_fn: Callable[[int], Column],
+    max_iterations: int,
+    converged_fn: Callable[[dict], bool] | None = None,
+    checkpoint: CheckpointStore | None = None,
+    scatter_all: bool = False,
+) -> PregelResult:
+    """Run the superstep loop. ``init_state`` must contain columns
+    ``vertex long`` and ``delta double`` (delta feeds lineage's delta_norm
+    and the default convergence frontier) plus whatever the algorithm needs.
+
+    Resume: if ``checkpoint`` holds a complete iteration, the loop restarts
+    from it (same code path — scatter depends only on state).
+    """
+    state = init_state
+    start_iter = 1
+    if checkpoint is not None:
+        resumed = checkpoint.latest_complete()
+        if resumed is not None:
+            it0, state = resumed
+            start_iter = it0 + 1
+        else:
+            state = state.localCheckpoint(eager=True)
+    else:
+        state = state.localCheckpoint(eager=True)
+
+    all_metrics: list[dict] = []
+    converged = False
+    # GDS counting (ref: Pregel.java:137-165): ranIterations == the superstep
+    # index at which convergence was detected (loop breaks before increment),
+    # or maxIterations if the loop exhausts.
+    ran = max_iterations
+
+    # superstep `start_iter - 1`'s sends happen lazily inside iteration t's
+    # message plan: scatter always reads the *current* state.
+    for t in range(start_iter, max_iterations):
+        with Timer() as timer:
+            msgs = _scatter_messages(
+                csr, state, t - 1, scatter_cols, scatter_fn, reducer,
+                None if scatter_all else frontier_fn(t - 1),
+            )
+            new_state = apply_fn(state, msgs, t)
+            if checkpoint is not None:
+                new_state = checkpoint.write_state(new_state, t)
+            else:
+                new_state = new_state.localCheckpoint(eager=True)
+
+            frontier_next = frontier_fn(t)
+            per_part = (
+                new_state.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.abs(F.col("delta"))).alias("l1"),
+                    F.sum(F.when(frontier_next, 1).otherwise(0)).alias("active"),
+                )
+                .collect()
+            )
+        rows = sum(r["rows"] for r in per_part)
+        l1 = float(sum(r["l1"] or 0.0 for r in per_part))
+        active = int(sum(r["active"] for r in per_part))
+        metrics = {
+            "iteration": t,
+            "rows": rows,
+            "l1": l1,
+            "active": active,
+            "wall_time": timer.elapsed,
+        }
+        all_metrics.append(metrics)
+        if checkpoint is not None:
+            checkpoint.write_lineage(
+                t,
+                [(r["pid"], r["rows"], float(r["l1"] or 0.0)) for r in per_part],
+                timer.elapsed,
+            )
+        state = new_state
+        if active == 0 or (converged_fn is not None and converged_fn(metrics)):
+            converged = True
+            ran = t
+            break
+
+    return PregelResult(
+        state=state, ran_iterations=ran, converged=converged, metrics=all_metrics
+    )

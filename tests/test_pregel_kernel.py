@@ -1,0 +1,107 @@
+"""Kernel-level tests: eigenvector oracle, checkpoint/resume, lineage,
+salted hub splitting, and partition-count invariance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.graph import from_edge_list
+from graph_data_science_spark.operators.pagerank import eigenvector, pagerank
+from graph_data_science_spark.plans.checkpoint import CheckpointStore
+from graph_data_science_spark.plans.csr import build_csr_graph, expand_ranges
+
+EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+    ("b", "d"), ("d", "e"), ("e", "a"), ("e", "b"),
+]
+NODES = list("abcde")
+
+
+def test_expand_ranges():
+    starts = np.array([0, 5, 5, 9], dtype=np.int64)
+    ends = np.array([3, 5, 8, 10], dtype=np.int64)
+    out = expand_ranges(starts, ends)
+    assert out.tolist() == [0, 1, 2, 5, 6, 7, 9]
+    assert expand_ranges(np.array([2], dtype=np.int64), np.array([2], dtype=np.int64)).tolist() == []
+
+
+def test_eigenvector_vs_numpy(spark):
+    g = from_edge_list(spark, EDGES, node_ids=NODES)
+    out = eigenvector(g, tolerance=1e-10, max_iterations=300)
+    got = {r["internal_id"]: r["score"] for r in out.scores.collect()}
+
+    n = len(NODES)
+    idx = {c: i for i, c in enumerate(sorted(NODES))}
+    M = np.zeros((n, n))
+    for s, d in EDGES:
+        M[idx[d], idx[s]] += 1.0
+    vals, vecs = np.linalg.eig(M)
+    k = int(np.argmax(vals.real))
+    v = np.abs(vecs[:, k].real)
+    v = v / np.linalg.norm(v)
+    for i in range(n):
+        assert got[i] == pytest.approx(v[i], abs=1e-6), i
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    g = from_edge_list(spark, EDGES, node_ids=NODES)
+
+    # uninterrupted run
+    full = pagerank(g, tolerance=0.0, max_iterations=30)
+    expected = {r["internal_id"]: r["score"] for r in full.scores.collect()}
+
+    # interrupted: stop after 10 supersteps, then resume to 30
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    part1 = pagerank(g, tolerance=0.0, max_iterations=10, checkpoint=store)
+    assert part1.ran_iterations == 10
+    part2 = pagerank(g, tolerance=0.0, max_iterations=30, checkpoint=store)
+    resumed = {r["internal_id"]: r["score"] for r in part2.scores.collect()}
+    assert resumed == expected  # byte-identical doubles
+
+    # lineage rows exist per (iteration, partition) with the required fields
+    lineage = store.lineage()
+    assert set(lineage.columns) == {
+        "iteration", "partition_id", "rows", "delta_norm", "wall_time",
+    }
+    its = sorted(r["iteration"] for r in lineage.select("iteration").distinct().collect())
+    assert its == list(range(1, 30))
+    total_rows = (
+        lineage.groupBy("iteration").agg(F.sum("rows").alias("n")).collect()
+    )
+    assert all(r["n"] == len(NODES) for r in total_rows)
+
+
+def test_hub_salting_exact(spark):
+    # a hub with out-degree 40 split across blocks at hub_split_edges=8
+    hub_edges = [("hub", f"t{i:02d}") for i in range(40)] + [
+        (f"t{i:02d}", "hub") for i in range(0, 40, 3)
+    ]
+    g = from_edge_list(spark, hub_edges)
+    plain = build_csr_graph(g.edges, num_blocks=4)
+    salted = build_csr_graph(g.edges, num_blocks=4, hub_split_edges=8)
+    # hub's adjacency really is split across >1 block
+    hub_id = (
+        g.vertices.filter(F.col("original_id") == "hub").collect()[0]["internal_id"]
+    )
+    pids = (
+        salted.routing.filter(F.col("src") == hub_id).collect()[0]["pids"]
+    )
+    assert len(pids) > 1
+    r1 = pagerank(g, max_iterations=10, tolerance=0.0, csr=plain)
+    r2 = pagerank(g, max_iterations=10, tolerance=0.0, csr=salted)
+    s1 = {r["internal_id"]: r["score"] for r in r1.scores.collect()}
+    s2 = {r["internal_id"]: r["score"] for r in r2.scores.collect()}
+    for k in s1:
+        assert s1[k] == pytest.approx(s2[k], abs=1e-12)
+
+
+def test_partition_count_invariance(spark):
+    g = from_edge_list(spark, EDGES, node_ids=NODES)
+    outs = []
+    for nb in (1, 3, 7):
+        csr = build_csr_graph(g.edges, num_blocks=nb)
+        out = pagerank(g, tolerance=0.0, max_iterations=15, csr=csr)
+        outs.append({r["internal_id"]: r["score"] for r in out.scores.collect()})
+    for other in outs[1:]:
+        for k in outs[0]:
+            assert outs[0][k] == pytest.approx(other[k], abs=1e-12)
