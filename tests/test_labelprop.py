@@ -1,0 +1,103 @@
+"""Label propagation: GDS vote/tie semantics under a synchronous schedule,
+cross-checked against a single-threaded Python reference."""
+
+import random
+
+from graph_data_science_spark.graph import from_edge_list
+from graph_data_science_spark.operators.labelprop import label_propagation
+
+
+def _python_sync_lp(n, edges, max_iterations, init=None, node_w=None, rel_w=None):
+    """Reference implementation: synchronous schedule, vote weight =
+    rel_weight * node_weight(neighbor), winner = max weight then min label."""
+    labels = list(init) if init else list(range(n))
+    node_w = node_w or [1.0] * n
+    out = {}
+    for i, (s, d) in enumerate(edges):
+        out.setdefault(s, []).append((d, (rel_w or [1.0] * len(edges))[i]))
+    for _ in range(max_iterations):
+        nxt = list(labels)
+        changed = False
+        for v in range(n):
+            votes = {}
+            for (nbr, w) in out.get(v, []):
+                lbl = labels[nbr]
+                votes[lbl] = votes.get(lbl, 0.0) + w * node_w[nbr]
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                nxt[v] = best
+                changed = changed or best != labels[v]
+        labels = nxt
+        if not changed:
+            break
+    return labels
+
+
+FOLLOW_GRAPH = [  # GDS LabelPropagationTest fixture topology (FIXTURES.md §3.3)
+    (0, 1), (0, 2), (4, 3), (1, 5), (3, 4),
+    (5, 0), (0, 5), (1, 0), (5, 1), (2, 3),
+]
+
+
+def test_lp_follow_graph_sync(spark):
+    g = from_edge_list(spark, FOLLOW_GRAPH)
+    got = {
+        r["internal_id"]: r["label"]
+        for r in label_propagation(g, max_iterations=1).collect()
+    }
+    expected = _python_sync_lp(6, FOLLOW_GRAPH, 1)
+    assert got == dict(enumerate(expected))
+
+
+def test_lp_seeded(spark):
+    # seeds: Alice:2 Bridget:3 Charles:4 Doug:3 Mark:4 Michael:2
+    seeds = {0: 2, 1: 3, 2: 4, 3: 3, 4: 4, 5: 2}
+    g = from_edge_list(spark, FOLLOW_GRAPH)
+    vertices = g.vertices.sparkSession.createDataFrame(
+        [(k, str(k), v) for k, v in seeds.items()],
+        "internal_id long, original_id string, seed long",
+    )
+    g.vertices = vertices
+    got = {
+        r["internal_id"]: r["label"]
+        for r in label_propagation(
+            g, max_iterations=10, seed_property="seed"
+        ).collect()
+    }
+    expected = _python_sync_lp(6, FOLLOW_GRAPH, 10, init=[2, 3, 4, 3, 4, 2])
+    assert got == dict(enumerate(expected))
+
+
+def test_lp_random_vs_python_oracle(spark):
+    rnd = random.Random(7)
+    n = 80
+    edges = list({(rnd.randrange(n), rnd.randrange(n)) for _ in range(400)})
+    edges = [(s, d) for s, d in edges if s != d]
+    # from_edge_list maps string ids lexicographically; use zero-padded ids
+    g2 = from_edge_list(
+        spark,
+        [(f"{s:04d}", f"{d:04d}") for s, d in edges],
+        node_ids=[f"{i:04d}" for i in range(n)],
+    )
+    got = {
+        r["internal_id"]: r["label"]
+        for r in label_propagation(g2, max_iterations=5).collect()
+    }
+    expected = _python_sync_lp(n, edges, 5)
+    assert got == dict(enumerate(expected))
+
+
+def test_lp_weighted_votes(spark):
+    # 0 -> 1 (w=1), 0 -> 2 (w=5): weighted LP must adopt label 2
+    g = from_edge_list(spark, [(0, 1, 1.0), (0, 2, 5.0)])
+    got = {
+        r["internal_id"]: r["label"]
+        for r in label_propagation(g, max_iterations=1, weighted=True).collect()
+    }
+    assert got[0] == 2
+    # unweighted: tie -> smaller label
+    got_u = {
+        r["internal_id"]: r["label"]
+        for r in label_propagation(g, max_iterations=1).collect()
+    }
+    assert got_u[0] == 1

@@ -1,0 +1,118 @@
+"""Triangle zoo from the reference test suite (FIXTURES.md §3.4) + dense
+numpy trace(A^3)/6 oracle on a random graph."""
+
+import random
+
+import numpy as np
+
+from graph_data_science_spark.graph import UNDIRECTED, from_edge_list
+from graph_data_science_spark.operators.triangle import (
+    average_clustering_coefficient,
+    local_clustering_coefficient,
+    triangle_count,
+    triangles_stream,
+)
+
+
+def _graph(spark, edges, node_ids=None):
+    return from_edge_list(
+        spark, edges, orientation=UNDIRECTED, node_ids=node_ids
+    )
+
+
+def _per_node(spark, edges, node_ids=None, **kw):
+    res = triangle_count(_graph(spark, edges, node_ids), **kw)
+    return (
+        {r["internal_id"]: r["triangles"] for r in res.per_node.collect()},
+        res.global_count,
+    )
+
+
+def test_path_has_no_triangles(spark):
+    per, total = _per_node(spark, [(0, 1), (1, 2)])
+    assert total == 0 and set(per.values()) == {0}
+
+
+def test_single_triangle_plus_isolate(spark):
+    per, total = _per_node(spark, [(0, 1), (1, 2), (2, 0)], node_ids=[3])
+    assert total == 1
+    assert per == {0: 1, 1: 1, 2: 1, 3: 0}
+
+
+def test_k5(spark):
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    per, total = _per_node(spark, edges)
+    assert total == 10  # C(5,3)
+    assert set(per.values()) == {6}  # C(4,2) per node
+
+
+def test_two_triangles_sharing_hub(spark):
+    per, total = _per_node(
+        spark, [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)]
+    )
+    assert total == 2
+    assert per[0] == 2 and per[1] == per[2] == per[3] == per[4] == 1
+
+
+def test_self_loops_and_parallel_edges_ignored(spark):
+    per, total = _per_node(
+        spark, [(0, 0), (0, 1), (0, 1), (1, 2), (2, 0), (1, 1)]
+    )
+    assert total == 1
+    assert per == {0: 1, 1: 1, 2: 1}
+
+
+def test_max_degree_exclusion(spark):
+    # hub 0 in both triangles; maxDegree=2 excludes it -> no triangles remain
+    per, total = _per_node(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)],
+        max_degree=2,
+    )
+    assert per[0] == -1
+    assert total == 0
+
+
+def test_triangles_stream_rows(spark):
+    rows = triangles_stream(
+        _graph(spark, [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)])
+    ).collect()
+    got = {(r["node_a"], r["node_b"], r["node_c"]) for r in rows}
+    assert got == {(0, 1, 2), (0, 3, 4)}
+
+
+def test_random_graph_vs_numpy_trace(spark):
+    rnd = random.Random(13)
+    n = 60
+    edges = list({(rnd.randrange(n), rnd.randrange(n)) for _ in range(300)})
+    edges = [(a, b) for a, b in edges if a != b]
+    g = from_edge_list(
+        spark,
+        [(f"{a:03d}", f"{b:03d}") for a, b in edges],
+        orientation=UNDIRECTED,
+        node_ids=[f"{i:03d}" for i in range(n)],
+    )
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = A[b, a] = 1.0
+    res = triangle_count(g)
+    per = {r["internal_id"]: r["triangles"] for r in res.per_node.collect()}
+    total = res.global_count
+    assert total == int(round(np.trace(A @ A @ A) / 6))
+    diag = np.diag(A @ A @ A) / 2
+    for v in range(n):
+        assert per[v] == int(round(diag[v]))
+    # LCC cross-check
+    lcc = {
+        r["internal_id"]: r["coefficient"]
+        for r in local_clustering_coefficient(g).collect()
+    }
+    deg = A.sum(axis=1)
+    for v in range(n):
+        expect = 0.0 if deg[v] < 2 else 2.0 * diag[v] / (deg[v] * (deg[v] - 1))
+        assert abs(lcc[v] - expect) < 1e-12
+    avg = average_clustering_coefficient(local_clustering_coefficient(g))
+    assert abs(avg - np.mean([
+        0.0 if deg[v] < 2 else 2.0 * diag[v] / (deg[v] * (deg[v] - 1))
+        for v in range(n)
+    ])) < 1e-12
