@@ -1,0 +1,109 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline queries over ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]``, plus the north-rule metric: PageRank
+throughput (edges processed/sec to convergence) on the synthesized
+source-code corpus' dependency graph.
+
+Env knobs:
+- SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (driver contract)
+- BENCH_CORPUS_REPOS  (default 120_000) — corpus size for the throughput run
+- BENCH_PR_MAXITERS   (default 20)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_repos = int(os.environ.get("BENCH_CORPUS_REPOS", 120_000))
+    pr_iters = int(os.environ.get("BENCH_PR_MAXITERS", 20))
+
+    from graph_data_science_spark import driver_contract as dc
+    from graph_data_science_spark.graph import from_edge_df
+    from graph_data_science_spark.operators.pagerank import pagerank
+    from graph_data_science_spark.plans.csr import build_csr_graph
+    from graph_data_science_spark.session import get_spark
+    from graph_data_science_spark.sources.corpus import (
+        extract_import_edges,
+        synthesize_corpus,
+    )
+
+    spark = get_spark("gds-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    qs = dc.queries()
+    for name in (
+        "pagerank",
+        "wcc",
+        "label_propagation",
+        "triangle_count",
+        "node_similarity",
+        "degree_centrality",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # --- north-rule throughput run: corpus -> edges -> PageRank ----------
+    t0 = time.monotonic()
+    corpus = synthesize_corpus(spark, n_repos)
+    edges = extract_import_edges(corpus)
+    g = from_edge_df(edges, weight="weight")
+    g.vertices = g.vertices.localCheckpoint(eager=True)
+    g.edges = g.edges.localCheckpoint(eager=True)
+    n_edges = g.relationship_count()
+    timings["corpus_build"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    csr = build_csr_graph(g.edges)
+    timings["csr_build"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    outcome = pagerank(
+        g, tolerance=0.0, l1_tolerance=1e-6 * max(g.node_count(), 1),
+        max_iterations=pr_iters, csr=csr,
+    )
+    outcome.scores.count()
+    pr_sec = time.monotonic() - t0
+    timings["corpus_pagerank"] = round(pr_sec, 3)
+    supersteps = outcome.ran_iterations
+    edges_per_sec = n_edges * supersteps / pr_sec if pr_sec > 0 else 0.0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_edges_per_sec",
+                "value": round(edges_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "total_sec": total,
+                "corpus_edges": n_edges,
+                "corpus_supersteps": supersteps,
+                "corpus_converged": outcome.converged,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,488 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry runs a graph/data-pipeline operator of this engine over the
+driver's TPC-H-ish parquet tables and has (where SQL-expressible) an exact
+DuckDB oracle. Column names/types match on both sides; float columns are
+rounded identically on both sides so the driver's order-insensitive
+value-hash comparison is deterministic.
+
+Graph derivations used (shared Spark/DuckDB definitions):
+- ``edges_sp``  — directed bipartite supplier→part: one edge per distinct
+  (l_suppkey, l_partkey); part ids offset by 10_000_000 into a disjoint id
+  space; weight = number of lineitems for the pair.
+- ``edges_ss``  — undirected co-supplier graph: suppliers that shipped the
+  same part, canonical a<b pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .graph import UNDIRECTED, from_edge_df
+from .operators.degree import degree_centrality
+from .operators.labelprop import label_propagation
+from .operators.nodesim import node_similarity
+from .operators.pagerank import pagerank
+from .operators.triangle import local_clustering_coefficient, triangle_count
+from .operators.wcc import wcc
+
+PART_OFFSET = 10_000_000
+
+# -- shared derivation SQL (DuckDB side) ---------------------------------
+SQL_EDGES_SP = (
+    "SELECT l_suppkey AS src, l_partkey + 10000000 AS dst, "
+    "CAST(COUNT(*) AS DOUBLE) AS weight FROM lineitem GROUP BY 1, 2"
+)
+SQL_EDGES_SS = (
+    "SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b "
+    "FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey "
+    "AND a.l_suppkey < b.l_suppkey"
+)
+SQL_NODES_SP = (
+    "SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges"
+)
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def edges_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + PART_OFFSET).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def edges_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir).select("l_suppkey", "l_partkey").distinct()
+    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
+    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
+    return (
+        a.join(b, "pk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _graph_sp(spark: SparkSession, sf_dir: str):
+    return from_edge_df(edges_sp(spark, sf_dir), weight="weight")
+
+
+def _graph_ss(spark: SparkSession, sf_dir: str):
+    e = edges_ss(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return from_edge_df(e, orientation=UNDIRECTED)
+
+
+def _to_original(result: DataFrame, vertices: DataFrame, col: str,
+                 out: str) -> DataFrame:
+    """Map an internal-id column back to original ids."""
+    tmp_key, tmp_val = f"__k_{col}", f"__v_{col}"
+    m = vertices.select(
+        F.col("internal_id").alias(tmp_key),
+        F.col("original_id").cast("long").alias(tmp_val),
+    )
+    return (
+        result.join(m, result[col] == m[tmp_key])
+        .drop(col, tmp_key)
+        .withColumnRenamed(tmp_val, out)
+    )
+
+
+# -- PageRank ------------------------------------------------------------
+PR_ITERS = 8  # classic-iteration count; query runs max_iterations=PR_ITERS+1
+PR_DAMPING = 0.85
+# PageRank runs on the symmetrized co-supplier graph (cyclic, so the power
+# iteration is exercised for all PR_ITERS supersteps, unlike the bipartite
+# supplier->part DAG which converges after one step).
+SQL_EDGES_PR = (
+    f"WITH canon AS ({SQL_EDGES_SS}) "
+    "SELECT a AS src, b AS dst, CAST(1.0 AS DOUBLE) AS weight FROM canon "
+    "UNION ALL SELECT b, a, 1.0 FROM canon"
+)
+
+
+def _graph_pr(spark: SparkSession, sf_dir: str):
+    e = edges_ss(spark, sf_dir)
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return from_edge_df(sym)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph_pr(spark, sf_dir)
+    out = pagerank(
+        g, damping=PR_DAMPING, tolerance=0.0, max_iterations=PR_ITERS + 1
+    ).scores
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def sql_pagerank() -> str:
+    ctes = [
+        f"edges AS ({SQL_EDGES_PR})",
+        f"nodes AS ({SQL_NODES_SP})",
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg "
+        "FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.id, 0.15 + {PR_DAMPING} * COALESCE(m.s, 0) AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.rank / d.deg) AS s "
+            f"FROM edges e JOIN r{k - 1} r ON r.id = e.src "
+            f"JOIN deg d ON d.id = e.src GROUP BY e.dst) m ON m.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS score FROM r{PR_ITERS}"
+    )
+
+
+# -- WCC -----------------------------------------------------------------
+def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph_sp(spark, sf_dir)
+    comp = wcc(g)
+    comp = _to_original(comp, g.vertices, "internal_id", "id")
+    # component is a min internal id == min original id (order-isomorphic map)
+    return _to_original(comp, g.vertices, "component", "component").select(
+        "id", "component"
+    )
+
+
+def sql_wcc() -> str:
+    return f"""
+WITH RECURSIVE
+edges AS ({SQL_EDGES_SP}),
+nodes AS ({SQL_NODES_SP}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+"""
+
+
+def q_component_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph_sp(spark, sf_dir)
+    return wcc(g).agg(
+        F.countDistinct("component").alias("component_count")
+    )
+
+
+def sql_component_count() -> str:
+    return (
+        "WITH base AS (" + sql_wcc() + ") "
+        "SELECT COUNT(DISTINCT component) AS component_count FROM base"
+    )
+
+
+# -- Label propagation ---------------------------------------------------
+LP_ITERS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph_ss(spark, sf_dir)
+    labels = label_propagation(g, max_iterations=LP_ITERS)
+    labels = _to_original(labels, g.vertices, "internal_id", "id")
+    return _to_original(labels, g.vertices, "label", "label").select(
+        "id", "label"
+    )
+
+
+def sql_label_propagation() -> str:
+    ctes = [
+        f"canon AS ({SQL_EDGES_SS})",
+        "sym AS (SELECT a AS src, b AS dst FROM canon "
+        "UNION ALL SELECT b, a FROM canon)",
+        "nodes AS (SELECT DISTINCT src AS id FROM sym)",
+        "l0 AS (SELECT id, id AS label FROM nodes)",
+    ]
+    for k in range(1, LP_ITERS + 1):
+        ctes.append(
+            f"v{k} AS (SELECT e.src AS id, l.label, "
+            f"CAST(COUNT(*) AS DOUBLE) AS vote "
+            f"FROM sym e JOIN l{k - 1} l ON l.id = e.dst GROUP BY e.src, l.label)"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT id, label FROM ("
+            f"SELECT id, label, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY vote DESC, label ASC) AS rn "
+            f"FROM v{k}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{k} AS (SELECT n.id, COALESCE(w.label, p.label) AS label "
+            f"FROM nodes n JOIN l{k - 1} p ON p.id = n.id "
+            f"LEFT JOIN w{k} w ON w.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, label FROM l{LP_ITERS}"
+    )
+
+
+# -- Triangles / LCC -----------------------------------------------------
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph_ss(spark, sf_dir)
+    per = triangle_count(g).per_node
+    return _to_original(per, g.vertices, "internal_id", "id").select(
+        "id", "triangles"
+    )
+
+
+SQL_TRI_BASE = f"""
+canon AS ({SQL_EDGES_SS}),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM canon e1 JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+nodes AS (SELECT a AS id FROM canon UNION SELECT b FROM canon),
+tcounts AS (
+  SELECT n.id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS triangles
+  FROM nodes n LEFT JOIN (
+    SELECT id, COUNT(*) AS cnt FROM corners GROUP BY id) c ON c.id = n.id
+)
+"""
+
+
+def sql_triangle_count() -> str:
+    return "WITH " + SQL_TRI_BASE + "SELECT id, triangles FROM tcounts"
+
+
+def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph_ss(spark, sf_dir)
+    out = local_clustering_coefficient(g)
+    return _to_original(out, g.vertices, "internal_id", "id").select(
+        "id", F.round("coefficient", 6).alias("coefficient")
+    )
+
+
+def sql_lcc() -> str:
+    return (
+        "WITH " + SQL_TRI_BASE + """,
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM
+  (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY id)
+SELECT t.id,
+  ROUND(CASE WHEN d.deg < 2 THEN 0.0
+             ELSE 2.0 * t.triangles / (d.deg * (d.deg - 1)) END, 6)
+  AS coefficient
+FROM tcounts t JOIN deg d ON d.id = t.id
+"""
+    )
+
+
+# -- Degree centrality ---------------------------------------------------
+def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph_sp(spark, sf_dir)
+    out = degree_centrality(g)
+    return _to_original(out, g.vertices, "internal_id", "id").select(
+        "id", "score"
+    )
+
+
+def sql_degree() -> str:
+    return f"""
+WITH edges AS ({SQL_EDGES_SP}), nodes AS ({SQL_NODES_SP})
+SELECT n.id, CAST(COALESCE(d.c, 0) AS DOUBLE) AS score
+FROM nodes n LEFT JOIN
+  (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) d ON d.src = n.id
+"""
+
+
+def q_degree_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph_sp(spark, sf_dir)
+    out = degree_centrality(g, weighted=True)
+    return _to_original(out, g.vertices, "internal_id", "id").select(
+        "id", F.round("score", 6).alias("score")
+    )
+
+
+def sql_degree_weighted() -> str:
+    return f"""
+WITH edges AS ({SQL_EDGES_SP}), nodes AS ({SQL_NODES_SP})
+SELECT n.id, ROUND(CAST(COALESCE(d.s, 0) AS DOUBLE), 6) AS score
+FROM nodes n LEFT JOIN
+  (SELECT src, SUM(CASE WHEN weight > 0 THEN weight ELSE 0 END) AS s
+   FROM edges GROUP BY src) d ON d.src = n.id
+"""
+
+
+# -- Node similarity -----------------------------------------------------
+NS_TOPK = 5
+
+
+def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph_sp(spark, sf_dir)
+    sims = node_similarity(g, top_k=NS_TOPK)
+    sims = _to_original(sims, g.vertices, "node1", "node1")
+    sims = _to_original(sims, g.vertices, "node2", "node2")
+    return sims.select(
+        "node1", "node2", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def sql_node_similarity() -> str:
+    return f"""
+WITH edges AS (SELECT DISTINCT l_suppkey AS src,
+                      l_partkey + 10000000 AS dst FROM lineitem),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+inter AS (
+  SELECT e1.src AS node1, e2.src AS node2, COUNT(*) AS common
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY e1.src, e2.src),
+sims AS (
+  SELECT node1, node2,
+         CAST(common AS DOUBLE) / (d1.deg + d2.deg - common) AS similarity
+  FROM inter JOIN deg d1 ON d1.src = inter.node1
+             JOIN deg d2 ON d2.src = inter.node2),
+bidir AS (
+  SELECT node1, node2, similarity FROM sims
+  UNION ALL SELECT node2, node1, similarity FROM sims)
+SELECT node1, node2, ROUND(similarity, 6) AS similarity FROM (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rn
+  FROM bidir) WHERE rn <= {NS_TOPK}
+"""
+
+
+# -- CollapsePath (multi-hop shortcut edges) -----------------------------
+def q_collapse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> order -> supplier shortcut edges with path count
+    (gds.alpha.collapsePath.mutate semantics: one shortcut relationship per
+    traversed path; ref alpha/.../walking/CollapsePath.java:43)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    return (
+        orders.select(
+            F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("ok")
+        )
+        .join(li.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_suppkey").alias("dst")), "ok")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("paths"))
+    )
+
+
+def sql_collapse_path() -> str:
+    return """
+SELECT o.o_custkey AS src, l.l_suppkey AS dst, COUNT(*) AS paths
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# -- Link prediction functions ------------------------------------------
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.linkprediction.commonNeighbors over the co-supplier graph
+    (undirected neighborhoods), for all pairs sharing >= 1 neighbor."""
+    e = edges_ss(spark, sf_dir)
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    n1 = sym.select(F.col("u").alias("node1"), F.col("v").alias("nbr"))
+    n2 = sym.select(F.col("u").alias("node2"), F.col("v").alias("nbr"))
+    return (
+        n1.join(n2, "nbr")
+        .filter(F.col("node1") < F.col("node2"))
+        .groupBy("node1", "node2")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+
+
+def sql_common_neighbors() -> str:
+    return f"""
+WITH canon AS ({SQL_EDGES_SS}),
+sym AS (SELECT a AS u, b AS v FROM canon UNION ALL SELECT b, a FROM canon)
+SELECT n1.u AS node1, n2.u AS node2, COUNT(*) AS common_neighbors
+FROM sym n1 JOIN sym n2 ON n1.v = n2.v AND n1.u < n2.u
+GROUP BY 1, 2
+"""
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum over common neighbors z of 1/ln(degree(z))
+    (ref: alpha/.../linkprediction/AdamicAdarFunc)."""
+    e = edges_ss(spark, sf_dir)
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).alias("dz")
+    )
+    n1 = sym.select(F.col("u").alias("node1"), F.col("v").alias("z"))
+    n2 = sym.select(F.col("u").alias("node2"), F.col("v").alias("z"))
+    return (
+        n1.join(n2, "z")
+        .filter(F.col("node1") < F.col("node2"))
+        .join(deg, "z")
+        .filter(F.col("dz") > 1)
+        .groupBy("node1", "node2")
+        .agg(F.round(F.sum(1.0 / F.log("dz")), 6).alias("adamic_adar"))
+    )
+
+
+def sql_adamic_adar() -> str:
+    return f"""
+WITH canon AS ({SQL_EDGES_SS}),
+sym AS (SELECT a AS u, b AS v FROM canon UNION ALL SELECT b, a FROM canon),
+deg AS (SELECT u AS z, COUNT(*) AS dz FROM sym GROUP BY u)
+SELECT n1.u AS node1, n2.u AS node2,
+       ROUND(SUM(1.0 / LN(d.dz)), 6) AS adamic_adar
+FROM sym n1 JOIN sym n2 ON n1.v = n2.v AND n1.u < n2.u
+JOIN deg d ON d.z = n1.v
+WHERE d.dz > 1
+GROUP BY 1, 2
+"""
+
+
+# -- registry ------------------------------------------------------------
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pagerank": q_pagerank,
+        "wcc": q_wcc,
+        "component_count": q_component_count,
+        "label_propagation": q_label_propagation,
+        "triangle_count": q_triangle_count,
+        "local_clustering_coefficient": q_lcc,
+        "degree_centrality": q_degree,
+        "degree_centrality_weighted": q_degree_weighted,
+        "node_similarity": q_node_similarity,
+        "collapse_path": q_collapse_path,
+        "common_neighbors": q_common_neighbors,
+        "adamic_adar": q_adamic_adar,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pagerank": sql_pagerank(),
+        "wcc": sql_wcc(),
+        "component_count": sql_component_count(),
+        "label_propagation": sql_label_propagation(),
+        "triangle_count": sql_triangle_count(),
+        "local_clustering_coefficient": sql_lcc(),
+        "degree_centrality": sql_degree(),
+        "degree_centrality_weighted": sql_degree_weighted(),
+        "node_similarity": sql_node_similarity(),
+        "collapse_path": sql_collapse_path(),
+        "common_neighbors": sql_common_neighbors(),
+        "adamic_adar": sql_adamic_adar(),
+    }
