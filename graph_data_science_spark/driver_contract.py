@@ -453,6 +453,187 @@ GROUP BY 1, 2
 """
 
 
+# -- data-pipeline operators over documents/embeddings -------------------
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import token_count
+
+    return token_count(_documents(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def sql_token_count() -> str:
+    return (
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
+        "AS n_tokens FROM documents"
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import quality_score
+
+    return quality_score(_documents(spark, sf_dir))
+
+
+def sql_quality_score() -> str:
+    return """
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+SELECT doc_id, ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+       AS score FROM toks
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import doc_fingerprint
+
+    return doc_fingerprint(_documents(spark, sf_dir))
+
+
+def sql_doc_fingerprint() -> str:
+    return (
+        "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+        " AS fingerprint FROM documents"
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+def sql_exact_dedup() -> str:
+    return """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents
+GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+"""
+
+
+NGRAM_N = 2
+NGRAM_THRESHOLD = 0.3
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _documents(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    )
+
+
+def sql_ngram_jaccard() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM_N - 1}], ' ')
+       AS shingle FROM toks,
+       UNNEST(range(1, len(t) - {NGRAM_N - 2})) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc1, doc2,
+       ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 6) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = doc1
+           JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= {NGRAM_THRESHOLD}
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import lang_id
+
+    return lang_id(_documents(spark, sf_dir))
+
+
+def sql_lang_id() -> str:
+    from .pipeline.text import _LANG_MARKERS
+
+    parts = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(t, x -> x IN ({inlist}))) AS hits FROM toks"
+        )
+    scores = " UNION ALL ".join(parts)
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+scores AS ({scores}),
+mx AS (SELECT doc_id, MAX(hits) AS mx FROM scores GROUP BY doc_id),
+pred AS (SELECT s.doc_id, MIN(s.lang) AS pred_lang FROM scores s
+         JOIN mx ON mx.doc_id = s.doc_id AND s.hits = mx.mx
+         WHERE mx.mx > 0 GROUP BY s.doc_id)
+SELECT d.doc_id, COALESCE(p.pred_lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+"""
+
+
+ANN_TOPK = 3
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.ann import cosine_topk_bruteforce
+
+    out = cosine_topk_bruteforce(_embeddings(spark, sf_dir), k=ANN_TOPK)
+    return out.select(
+        "vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def sql_embedding_topk() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id)
+SELECT vec_id, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored) WHERE rn <= {ANN_TOPK}
+"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (MinHash uses engine-specific xxhash64): candidate
+    near-dup pairs from banded LSH refined by signature agreement."""
+    from .pipeline.text import minhash_dedup
+
+    return minhash_dedup(
+        _documents(spark, sf_dir), n=NGRAM_N, min_jaccard_est=0.3
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: 64-bit SimHash signatures (engine-specific hash)."""
+    from .pipeline.text import simhash
+
+    return simhash(_documents(spark, sf_dir))
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: approximate ANN (recall<1 by design — no oracle)."""
+    from .pipeline.ann import cosine_topk_lsh
+
+    out = cosine_topk_lsh(_embeddings(spark, sf_dir), k=ANN_TOPK)
+    return out.select(
+        "vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # -- registry ------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -468,6 +649,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_path": q_collapse_path,
         "common_neighbors": q_common_neighbors,
         "adamic_adar": q_adamic_adar,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "embedding_topk": q_embedding_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
     }
 
 
@@ -485,4 +676,13 @@ def oracle_sql() -> dict[str, str]:
         "collapse_path": sql_collapse_path(),
         "common_neighbors": sql_common_neighbors(),
         "adamic_adar": sql_adamic_adar(),
+        "token_count": sql_token_count(),
+        "quality_score": sql_quality_score(),
+        "doc_fingerprint": sql_doc_fingerprint(),
+        "exact_dedup": sql_exact_dedup(),
+        "ngram_jaccard_dedup": sql_ngram_jaccard(),
+        "lang_id": sql_lang_id(),
+        "embedding_topk": sql_embedding_topk(),
+        # minhash_dedup / simhash / embedding_topk_lsh: engine-specific
+        # hashing or approximate recall — rows-only checks by design
     }

@@ -1,0 +1,226 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk_bruteforce` — exact all-pairs cosine top-k: the
+  correctness baseline. JVM-only math (``zip_with`` + ``aggregate``), block
+  nested-loop via a hint-free shuffle join; O(n^2 d) — fine to ~10^5 rows.
+- :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH buckets
+  (sign bits of r·v for K seeded hyperplanes, T tables); candidates only
+  join within a bucket. Recall < 1 by construction; tune (K, T).
+- :func:`ivf_topk` — IVF-style: k-means-lite (seeded random centroids, one
+  assignment pass — a deterministic stand-in for trained centroids),
+  queries probe ``nprobe`` nearest centroids only.
+
+All variants return (vec_id long, neighbor_id long, cosine double).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm_col(vec: str):
+    return F.sqrt(
+        F.aggregate(
+            F.col(vec), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    a = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("va"),
+        _norm_col(vec_col).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vb"),
+        _norm_col(vec_col).alias("nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "vec_id",
+        "neighbor_id",
+        (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed * 1000 + table))
+    return rng.standard_normal((bits, dim))
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    *,
+    k: int = 3,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only pairs sharing a (table, signature) bucket are
+    scored. Signature = sign bits of hyperplane projections, computed with
+    JVM ``aggregate`` over a broadcast-literal plane array."""
+    dim = len(emb.select(vec_col).first()[0])
+    buckets = None
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        sig = F.lit(0).cast("long")
+        for i in range(bits):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in planes[i]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        part = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.lit(t).alias("table"),
+            sig.alias("bucket"),
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+
+    a = buckets.select("table", "bucket", F.col("vec_id"), F.col("v").alias("va"))
+    b = buckets.select(
+        "table",
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+    )
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "va", "vb")
+        .distinct()
+    )
+    na = _norm_col("va")
+    nb = _norm_col("vb")
+    scored = cands.select(
+        "vec_id",
+        "neighbor_id",
+        (_dot("va", "vb") / (na * nb)).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    *,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: assign every vector to its nearest of ``n_centroids`` seeded
+    random unit centroids; a query scores only vectors in its ``nprobe``
+    nearest centroid cells. Deterministic (seeded centroids)."""
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def cent_scores():
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        cent_scores().alias("cs"),
+    )
+    ranked = scored.select(
+        "vec_id",
+        "v",
+        F.slice(
+            F.reverse(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cs"),
+                            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                        )
+                    ),
+                    lambda st: st["i"],
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("probes"),
+    )
+    data_side = ranked.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("probes")[0].alias("cell"),  # vectors live in their top cell
+    )
+    query_side = ranked.select(
+        "vec_id", F.col("v").alias("va"), F.explode("probes").alias("cell")
+    )
+    cands = query_side.join(data_side, "cell").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    na = _norm_col("va")
+    nb = _norm_col("vb")
+    out = cands.select(
+        "vec_id",
+        "neighbor_id",
+        (_dot("va", "vb") / (na * nb)).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -117,7 +117,8 @@ def ngram_jaccard_pairs(
 
 
 # --- MinHash + LSH -------------------------------------------------------
-MERSENNE = (1 << 61) - 1
+# 2^31-1 keeps a*h + b < 2^62: no long overflow under ANSI mode
+MERSENNE = (1 << 31) - 1
 
 
 def minhash_signatures(
@@ -236,14 +237,19 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("h", F.xxhash64("tok"))
     aggs = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            F.when(
+                F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]
     votes = tok.groupBy("doc_id").agg(*aggs)
     out = F.lit(0).cast("long")
     for i in range(64):
-        out = out + F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(F.lit(0)).cast("long")
+        bit = (1 << i) if i < 63 else -(1 << 63)  # sign bit in two's complement
+        out = out + F.when(F.col(f"b{i}") > 0, F.lit(bit)).otherwise(
+            F.lit(0)
+        ).cast("long")
     return votes.select("doc_id", out.alias("simhash"))
 
 
