@@ -1,0 +1,217 @@
+"""Graph catalog — the gds.graph.* lifecycle surface.
+
+Mirrors GraphStoreCatalog semantics (ref: core/.../core/loading/
+GraphStoreCatalog.java:39-148 — get/set/exists/remove/degreeDistribution;
+proc/catalog/GraphCreateProc, GraphListProc, GraphExistsProc,
+GraphDropProc, GraphStreamNodePropertiesProc, GraphWriteNodePropertiesProc,
+GraphRemoveNodePropertiesProc, GraphDeleteRelationshipProc,
+GraphStoreExportProc, beta create.subgraph / export.csv).
+
+Spark-first: a session-scoped dict of name → Graph; "write" targets
+parquet directories locally and the identical ``writeTo`` API targets
+Iceberg tables on a real cluster. The whole GDS Cypher-expression
+subgraph-filter subsystem (beta/filter/expression/ExpressionParser.java)
+collapses to Catalyst via ``F.expr`` — predicates are ANSI SQL over
+vertex/edge columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .graph import Graph, aggregate_edges, from_edge_df, orient_edges
+
+
+@dataclass
+class GraphCatalog:
+    """Per-session named graph store."""
+
+    _graphs: dict[str, Graph] = field(default_factory=dict)
+
+    # -- lifecycle (gds.graph.create / list / exists / drop) -------------
+    def create(
+        self,
+        name: str,
+        edges: DataFrame,
+        *,
+        src: str = "src",
+        dst: str = "dst",
+        weight: str | None = None,
+        orientation: str = "NATURAL",
+        aggregation: str = "DEFAULT",
+        fail_if_exists: bool = True,
+    ) -> Graph:
+        if fail_if_exists and name in self._graphs:
+            raise ValueError(f"graph '{name}' already exists")
+        g = from_edge_df(
+            edges,
+            src=src,
+            dst=dst,
+            weight=weight,
+            orientation=orientation,
+            aggregation=aggregation,
+        )
+        g.vertices = g.vertices.cache()
+        g.edges = g.edges.cache()
+        self._graphs[name] = g
+        return g
+
+    def create_cypher(
+        self,
+        name: str,
+        spark: SparkSession,
+        node_query: str,
+        relationship_query: str,
+        **kwargs,
+    ) -> Graph:
+        """gds.graph.create.cypher equivalent: arbitrary SQL for nodes and
+        relationships (ref: GraphCreateFromCypherConfig.java:50-60) —
+        Spark SQL *is* the query engine here."""
+        rels = spark.sql(relationship_query)
+        g = self.create(name, rels, **kwargs)
+        nodes = spark.sql(node_query)
+        extra_cols = [c for c in nodes.columns if c != "id"]
+        if extra_cols:
+            mapped = g.vertices.join(
+                nodes.withColumnRenamed("id", "original_id"),
+                "original_id",
+                "left",
+            )
+            g.vertices = mapped.cache()
+        return g
+
+    def get(self, name: str) -> Graph:
+        if name not in self._graphs:
+            raise KeyError(f"graph '{name}' not found")
+        return self._graphs[name]
+
+    def exists(self, name: str) -> bool:
+        return name in self._graphs
+
+    def list(self) -> list[dict]:
+        return [
+            {
+                "graphName": n,
+                "nodeCount": g.node_count(),
+                "relationshipCount": g.relationship_count(),
+                "orientation": g.orientation,
+            }
+            for n, g in self._graphs.items()
+        ]
+
+    def drop(self, name: str) -> None:
+        g = self._graphs.pop(name, None)
+        if g is None:
+            raise KeyError(f"graph '{name}' not found")
+        for df in (g.vertices, g.edges):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — already unpersisted is fine
+                pass
+
+    # -- property ops ----------------------------------------------------
+    def stream_node_properties(self, name: str, properties: list[str]) -> DataFrame:
+        g = self.get(name)
+        return g.vertices.select("internal_id", "original_id", *properties)
+
+    def mutate_node_property(
+        self, name: str, property_name: str, values: DataFrame
+    ) -> Graph:
+        """values: (internal_id, <anything>) — last column becomes the prop."""
+        g = self.get(name)
+        self._graphs[name] = g.with_vertex_column(property_name, values)
+        return self._graphs[name]
+
+    def remove_node_property(self, name: str, property_name: str) -> Graph:
+        g = self.get(name)
+        g.vertices = g.vertices.drop(property_name)
+        return g
+
+    def write_node_properties(
+        self, name: str, properties: list[str], path: str
+    ) -> None:
+        """Persist vertex properties (parquet dir locally; point ``path`` at
+        an Iceberg table + use .writeTo on a cluster)."""
+        self.stream_node_properties(name, properties).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def delete_relationships(self, name: str, predicate: str) -> Graph:
+        """Drop edges matching a SQL predicate (gds.graph.deleteRelationships
+        generalized: GDS drops by type; types here are predicate-encoded)."""
+        g = self.get(name)
+        g.edges = g.edges.filter(~F.expr(predicate))
+        return g
+
+    # -- subgraph / export ----------------------------------------------
+    def create_subgraph(
+        self,
+        name: str,
+        from_graph: str,
+        *,
+        node_filter: str = "true",
+        relationship_filter: str = "true",
+    ) -> Graph:
+        """gds.beta.graph.create.subgraph: Catalyst evaluates the filter
+        expressions (the reference's whole openCypher expression subsystem
+        maps to F.expr)."""
+        g = self.get(from_graph)
+        keep = g.vertices.filter(F.expr(node_filter)).select("internal_id")
+        e = (
+            g.edges.filter(F.expr(relationship_filter))
+            .join(keep.withColumnRenamed("internal_id", "src"), "src")
+            .join(keep.withColumnRenamed("internal_id", "dst"), "dst")
+        )
+        sub = Graph(
+            g.vertices.join(keep, "internal_id"),
+            e,
+            orientation=g.orientation,
+            is_multigraph=g.is_multigraph,
+        )
+        self._graphs[name] = sub
+        return sub
+
+    def export(self, name: str, path: str, *, fmt: str = "parquet") -> None:
+        """gds.graph.export / gds.beta.graph.export.csv."""
+        g = self.get(name)
+        writer_v = g.vertices.write.mode("overwrite")
+        writer_e = g.edges.write.mode("overwrite")
+        if fmt == "csv":
+            writer_v.option("header", True).csv(f"{path}/nodes")
+            writer_e.option("header", True).csv(f"{path}/relationships")
+        else:
+            writer_v.parquet(f"{path}/nodes")
+            writer_e.parquet(f"{path}/relationships")
+
+    @staticmethod
+    def import_from(spark: SparkSession, path: str, *, fmt: str = "parquet") -> Graph:
+        """CSV/parquet re-import (ref: CsvToGraphStoreExporter round-trip)."""
+        if fmt == "csv":
+            v = spark.read.option("header", True).option(
+                "inferSchema", True
+            ).csv(f"{path}/nodes")
+            e = spark.read.option("header", True).option(
+                "inferSchema", True
+            ).csv(f"{path}/relationships")
+        else:
+            v = spark.read.parquet(f"{path}/nodes")
+            e = spark.read.parquet(f"{path}/relationships")
+        return Graph(v, e)
+
+    def degree_distribution(self, name: str) -> dict:
+        """ref: GraphStoreCatalog.getDegreeDistribution:112 — percentile
+        summary of out-degrees."""
+        g = self.get(name)
+        deg = g.edges.groupBy("src").count()
+        row = deg.agg(
+            F.min("count").alias("min"),
+            F.max("count").alias("max"),
+            F.mean("count").alias("mean"),
+            F.expr("percentile_approx(count, 0.5)").alias("p50"),
+            F.expr("percentile_approx(count, 0.75)").alias("p75"),
+            F.expr("percentile_approx(count, 0.9)").alias("p90"),
+            F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        ).collect()[0]
+        return row.asDict()

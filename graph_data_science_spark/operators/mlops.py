@@ -1,0 +1,257 @@
+"""ML-utility operators: scaleProperties, oneHotEncoding,
+splitRelationships, random walks (gds.alpha.* / gds.beta.node2vec walk
+phase).
+
+References: gds.alpha.scaleProperties (algo-common/.../gds/scaling/
+ScalePropertiesBaseConfig.java + ScalarScaler.java:55-116),
+gds.alpha.ml.oneHotEncoding, gds.alpha.ml.splitRelationships
+(gds/ml/splitting/SplitRelationships.java),
+gds.alpha.randomWalk.stream (walking/RandomWalk.java:45) and the
+node2vec walk phase (gds/embeddings/node2vec/Node2Vec.java:31).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import Graph
+from .scaling import scale_column
+
+
+def scale_properties(
+    vertices: DataFrame, properties: dict[str, str]
+) -> DataFrame:
+    """Apply {column: scaler_variant} to vertex property columns
+    (gds.alpha.scaleProperties.mutate)."""
+    out = vertices
+    for col, variant in properties.items():
+        out = scale_column(out, col, variant)
+    return out
+
+
+def one_hot_encoding(
+    df: DataFrame, col: str, *, categories: list | None = None
+) -> DataFrame:
+    """Append ``<col>_onehot array<int>`` (gds.alpha.ml.oneHotEncoding:
+    categories sorted for a deterministic layout)."""
+    if categories is None:
+        categories = [
+            r[0] for r in df.select(col).distinct().orderBy(col).collect()
+        ]
+    arr = F.array(
+        *[(F.col(col) == F.lit(c)).cast("int") for c in categories]
+    )
+    return df.withColumn(f"{col}_onehot", arr)
+
+
+def split_relationships(
+    graph: Graph,
+    *,
+    holdout_fraction: float = 0.2,
+    negative_sampling_ratio: float = 1.0,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(remaining_edges, test_set) — test rows: (src, dst, label 1/0) with
+    negative samples drawn uniformly from non-edges (hash-filtered, the
+    scalable approximation of rejection sampling)."""
+    e = graph.edges.select("src", "dst")
+    tagged = e.withColumn("__r", F.rand(seed))
+    holdout = tagged.filter(F.col("__r") < holdout_fraction).drop("__r")
+    remaining = tagged.filter(F.col("__r") >= holdout_fraction).drop("__r")
+
+    n_pos = holdout.count()
+    n_neg = int(n_pos * negative_sampling_ratio)
+    n = graph.node_count()
+    cand = (
+        graph.spark.range(int(n_neg * 2.5))
+        .select(
+            F.floor(F.rand(seed + 1) * n).cast("long").alias("src"),
+            F.floor(F.rand(seed + 2) * n).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .join(e, ["src", "dst"], "left_anti")
+        .limit(n_neg)
+    )
+    test = holdout.withColumn("label", F.lit(1)).unionByName(
+        cand.withColumn("label", F.lit(0))
+    )
+    return remaining, test
+
+
+def random_walks(
+    graph: Graph,
+    *,
+    walks_per_node: int = 1,
+    walk_length: int = 5,
+    seed: int = 42,
+    start_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(walk_id, start, path array<long>): uniform random walks.
+
+    One adjacency-list materialization (collect_list per src), then
+    ``walk_length`` broadcast-free joins; the random step index derives
+    from xxhash64(walk_id, step, seed) — deterministic under any
+    partitioning (no rand() reshuffle hazards).
+    """
+    adj = (
+        graph.edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    starts = start_nodes or graph.vertices.select("internal_id")
+    walks = (
+        starts.crossJoin(
+            graph.spark.range(walks_per_node).select(
+                F.col("id").alias("rep")
+            )
+        )
+        .select(
+            (F.col("internal_id") * walks_per_node + F.col("rep")).alias(
+                "walk_id"
+            ),
+            F.col("internal_id").alias("start"),
+            F.array("internal_id").alias("path"),
+            F.col("internal_id").alias("cur"),
+        )
+    )
+    for step in range(walk_length - 1):
+        walks = (
+            walks.join(adj.withColumnRenamed("src", "cur"), "cur", "left")
+            .select(
+                "walk_id",
+                "start",
+                F.when(
+                    F.col("nbrs").isNotNull() & (F.size("nbrs") > 0),
+                    F.get(
+                        "nbrs",
+                        F.pmod(
+                            F.xxhash64("walk_id", F.lit(step), F.lit(seed)),
+                            F.size("nbrs"),
+                        ).cast("int"),
+                    ),
+                )
+                .otherwise(F.lit(None))
+                .alias("nxt"),
+                "path",
+            )
+            .select(
+                "walk_id",
+                "start",
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.concat("path", F.array("nxt")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.coalesce(
+                    "nxt", F.element_at("path", -1)
+                ).alias("cur"),
+            )
+        )
+    return walks.select("walk_id", "start", "path")
+
+
+def node2vec_walks(
+    graph: Graph,
+    *,
+    walks_per_node: int = 1,
+    walk_length: int = 5,
+    return_factor: float = 1.0,
+    in_out_factor: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Node2Vec's biased 2nd-order walk. With p=q=1 this IS the uniform
+    walk (delegated); p/q != 1 applies rejection sampling per step against
+    the previous node's neighborhood (one extra join per step) — the
+    standard scalable approximation of the alias-table scheme.
+    """
+    if return_factor == 1.0 and in_out_factor == 1.0:
+        return random_walks(
+            graph,
+            walks_per_node=walks_per_node,
+            walk_length=walk_length,
+            seed=seed,
+        )
+    # Rejection-sampled bias: draw a candidate uniformly; accept with
+    # probability 1/p (return), 1 (distance 1), 1/q (distance 2); on
+    # reject keep the current node (lazy walk — preserves the stationary
+    # bias direction without per-row alias tables).
+    adj = (
+        graph.edges.groupBy("src")
+        .agg(F.collect_set("dst").alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    starts = graph.vertices.select("internal_id")
+    walks = (
+        starts.crossJoin(
+            graph.spark.range(walks_per_node).select(F.col("id").alias("rep"))
+        )
+        .select(
+            (F.col("internal_id") * walks_per_node + F.col("rep")).alias(
+                "walk_id"
+            ),
+            F.col("internal_id").alias("start"),
+            F.array("internal_id").alias("path"),
+            F.col("internal_id").alias("cur"),
+            F.lit(None).cast("long").alias("prev"),
+        )
+    )
+    max_p = max(1.0, 1.0 / return_factor, 1.0 / in_out_factor)
+    for step in range(walk_length - 1):
+        cand = walks.join(
+            adj.withColumnRenamed("src", "cur"), "cur", "left"
+        ).select(
+            "walk_id",
+            "start",
+            "path",
+            "cur",
+            "prev",
+            F.when(
+                F.col("nbrs").isNotNull() & (F.size("nbrs") > 0),
+                F.get(
+                    "nbrs",
+                    F.pmod(
+                        F.xxhash64("walk_id", F.lit(step), F.lit(seed)),
+                        F.size("nbrs"),
+                    ).cast("int"),
+                ),
+            ).alias("cand"),
+            F.col("nbrs").alias("cur_nbrs"),
+        )
+        prev_adj = adj.withColumnRenamed("src", "prev").withColumnRenamed(
+            "nbrs", "prev_nbrs"
+        )
+        cand = cand.join(prev_adj, "prev", "left")
+        accept_p = (
+            F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / return_factor))
+            .when(
+                F.array_contains(
+                    F.coalesce("prev_nbrs", F.array()), F.col("cand")
+                ),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(1.0 / in_out_factor))
+        ) / F.lit(max_p)
+        u = (
+            F.pmod(
+                F.xxhash64("walk_id", F.lit(step), F.lit(seed + 7)),
+                F.lit(10_000),
+            ).cast("double")
+            / 10_000.0
+        )
+        nxt = F.when(
+            F.col("cand").isNotNull() & (u < accept_p), F.col("cand")
+        ).otherwise(F.lit(None))
+        walks = cand.select(
+            "walk_id",
+            "start",
+            F.when(
+                nxt.isNotNull(), F.concat("path", F.array(nxt))
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+            F.coalesce(nxt, F.col("cur")).alias("cur"),
+            F.col("cur").alias("prev"),
+        )
+    return walks.select("walk_id", "start", "path")
