@@ -42,12 +42,34 @@ DEFAULT_HUB_SPLIT_EDGES = 1_000_000
 
 @dataclass
 class CsrGraph:
-    """blocks: cached CSR block DataFrame; routing is carried on the state
-    side as a ``pids array<int>`` column (see :func:`source_routing`)."""
+    """blocks: cached CSR block DataFrame, hash-partitioned by ``pid`` at
+    build time so every superstep's cogroup reuses the cached layout with
+    NO re-shuffle of the (large) CSR byte arrays.
+
+    hub_salts: tiny (src, salt_n) table for sources whose adjacency is
+    salted across several blocks — broadcast at scatter time; every
+    non-hub source's single pid is recomputed inline as
+    ``pmod(xxhash64(src, 0), num_blocks)`` (no routing join at all).
+    """
 
     blocks: DataFrame
-    routing: DataFrame  # (src long, pids array<int>)
+    hub_salts: DataFrame  # (src long, salt_n int) — hubs only, broadcast-size
     num_blocks: int
+
+    def pids_col(self):
+        """array<int> of DISTINCT block pids for a ``src`` column (inline
+        expr; distinct because different salts can hash to the same block
+        — routing a source twice would duplicate its messages)."""
+        salt_n = F.coalesce(F.col("salt_n"), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), salt_n - 1),
+                lambda s: F.pmod(
+                    F.xxhash64(F.col("src"), s.cast("long")),
+                    F.lit(self.num_blocks),
+                ).cast("int"),
+            )
+        )
 
 
 def _build_chunks(key, pdf: pd.DataFrame, max_chunk_edges: int):
@@ -117,38 +139,42 @@ def build_csr_graph(
         num_blocks = max(spark.sparkContext.defaultParallelism, 2)
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
-    e = edges.join(deg, "src").withColumn(
-        "__salt",
-        F.pmod(
-            F.col("dst"),
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.col("__outdeg") / F.lit(hub_split_edges)).cast("long"),
-            ),
-        ),
+    salt_n = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("__outdeg") / F.lit(hub_split_edges)).cast("int"),
     )
+    e = edges.join(deg, "src").withColumn("__salt_n", salt_n)
     e = e.withColumn(
-        "pid", F.pmod(F.xxhash64(F.col("src"), F.col("__salt")), F.lit(num_blocks)).cast("int")
+        "pid",
+        F.pmod(
+            F.xxhash64(
+                F.col("src"),
+                F.pmod(F.col("dst"), F.col("__salt_n").cast("long")),
+            ),
+            F.lit(num_blocks),
+        ).cast("int"),
     )
 
     def build(key, pdf):
         return _build_chunks(key, pdf, max_chunk_edges)
 
+    # groupBy(pid).applyInPandas leaves the output hash-partitioned by pid;
+    # caching preserves that layout, so superstep cogroups need no exchange
+    # on the blocks side.
     blocks = (
         e.select("pid", "src", "dst", "weight")
         .groupBy("pid")
         .applyInPandas(build, BLOCK_SCHEMA)
         .cache()
     )
-    routing = (
-        e.select("src", "pid")
-        .distinct()
-        .groupBy("src")
-        .agg(F.collect_list("pid").alias("pids"))
+    hub_salts = (
+        deg.filter(F.col("__outdeg") > hub_split_edges)
+        .select("src", salt_n.alias("salt_n"))
         .cache()
     )
     blocks.count()  # materialize once
-    return CsrGraph(blocks=blocks, routing=routing, num_blocks=num_blocks)
+    hub_salts.count()
+    return CsrGraph(blocks=blocks, hub_salts=hub_salts, num_blocks=num_blocks)
 
 
 def decode_block_row(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

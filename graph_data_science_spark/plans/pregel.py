@@ -70,9 +70,16 @@ def _scatter_messages(
     frontier_cond: Column | None,
 ) -> DataFrame:
     frontier = state.filter(frontier_cond) if frontier_cond is not None else state
+    # broadcast the (tiny) hub salt table; non-hub pid is computed inline —
+    # the only shuffle on the state side is the cogroup's groupBy(pid)
     routed = (
-        frontier.join(csr.routing, frontier.vertex == csr.routing.src)
-        .select(F.explode("pids").alias("pid"), "vertex", *scatter_cols)
+        frontier.withColumnRenamed("vertex", "src")
+        .join(F.broadcast(csr.hub_salts), "src", "left")
+        .select(
+            F.explode(csr.pids_col()).alias("pid"),
+            F.col("src").alias("vertex"),
+            *scatter_cols,
+        )
     )
 
     local_reduce = _LOCAL_REDUCE[reducer]

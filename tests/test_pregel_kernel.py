@@ -83,10 +83,15 @@ def test_hub_salting_exact(spark):
     hub_id = (
         g.vertices.filter(F.col("original_id") == "hub").collect()[0]["internal_id"]
     )
-    pids = (
-        salted.routing.filter(F.col("src") == hub_id).collect()[0]["pids"]
-    )
-    assert len(pids) > 1
+    hub_row = salted.hub_salts.filter(F.col("src") == hub_id).collect()
+    assert hub_row and hub_row[0]["salt_n"] > 1
+    # and its edges really land in >1 distinct block
+    blocks_with_hub = [
+        r["pid"]
+        for r in salted.blocks.collect()
+        if hub_id in np.frombuffer(r["src_ids"], dtype=np.int64)
+    ]
+    assert len(set(blocks_with_hub)) > 1
     r1 = pagerank(g, max_iterations=10, tolerance=0.0, csr=plain)
     r2 = pagerank(g, max_iterations=10, tolerance=0.0, csr=salted)
     s1 = {r["internal_id"]: r["score"] for r in r1.scores.collect()}
