@@ -90,19 +90,24 @@ def pagerank(
             F.lit(0.0)
         )
     )
+    # ``push`` = delta/degree precomputed JVM-side: the scatter ships ONE
+    # double per frontier vertex and the python side is a pure gather-index
+    push0 = init_rank / F.col("degree")
     state = degrees.select(
         F.col("internal_id").alias("vertex"),
         F.col("degree"),
         init_rank.alias("rank"),
         init_rank.alias("delta"),
+        F.when(F.col("degree") > 0, push0).otherwise(F.lit(0.0)).alias(
+            "push"
+        ),
     )
 
     def scatter(iteration, cols, weights):
-        msg = cols["delta"] / cols["degree"]
+        msg = cols["push"]
         if weighted:
             msg = msg * weights
-        # non-finite (deg==0 weighted) => "no message" (messenger sentinel)
-        msg[~np.isfinite(msg)] = np.nan
+            msg[~np.isfinite(msg)] = np.nan
         return msg
 
     def apply_fn(state_df, msgs, t):
@@ -114,7 +119,13 @@ def pagerank(
             F.coalesce(F.col("msg") * F.lit(coeff), F.lit(0.0)).alias("delta"),
         )
         return joined.select(
-            "vertex", "degree", (F.col("rank") + F.col("delta")).alias("rank"), "delta"
+            "vertex",
+            "degree",
+            (F.col("rank") + F.col("delta")).alias("rank"),
+            "delta",
+            F.when(
+                F.col("degree") > 0, F.col("delta") / F.col("degree")
+            ).otherwise(F.lit(0.0)).alias("push"),
         )
 
     def frontier_fn(t):
@@ -129,7 +140,7 @@ def pagerank(
     result: PregelResult = run_pregel(
         csr,
         state,
-        scatter_cols=["delta", "degree"],
+        scatter_cols=["push"],
         scatter_fn=scatter,
         reducer="sum",
         apply_fn=apply_fn,

@@ -23,6 +23,10 @@ CSR layout reference (semantics only): core/.../core/huge/HugeGraph.java:56-90.
 
 from __future__ import annotations
 
+import glob
+import os
+import tempfile
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -31,7 +35,8 @@ from pyspark.sql import DataFrame, functions as F
 
 BLOCK_SCHEMA = (
     "pid int, chunk int, n_src long, n_edges long, "
-    "src_ids binary, offsets binary, dsts binary, weights binary"
+    "src_ids binary, offsets binary, dst_ids binary, dst_idx binary, "
+    "weights binary"
 )
 
 # Max edges per CSR chunk row (keeps single-row size ~128 MB at 8B/edge*3)
@@ -42,9 +47,21 @@ DEFAULT_HUB_SPLIT_EDGES = 1_000_000
 
 @dataclass
 class CsrGraph:
-    """blocks: cached CSR block DataFrame, hash-partitioned by ``pid`` at
-    build time so every superstep's cogroup reuses the cached layout with
-    NO re-shuffle of the (large) CSR byte arrays.
+    """The materialized graph for the superstep kernel.
+
+    Two storage modes:
+
+    - ``block_dir`` set (default): CSR chunks live as one parquet file set
+      per ``pid`` under ``block_dir/pid=N/``. The scatter is a plain
+      ``groupBy(pid).applyInPandas`` over the *state only*; each task
+      memory-maps its block from the (worker-cached) side files. The block
+      bytes NEVER travel through the JVM↔Python Arrow channel per
+      superstep — measured, that transfer was the dominant non-scaling
+      cost of a cogroup formulation. On a cluster, point ``block_dir`` at
+      a shared filesystem; OS page cache + the in-worker LRU give
+      executor-resident adjacency.
+    - ``blocks`` DataFrame (storage="dataframe"): cogroup fallback, kept
+      for environments without a shared filesystem.
 
     hub_salts: tiny (src, salt_n) table for sources whose adjacency is
     salted across several blocks — broadcast at scatter time; every
@@ -52,9 +69,20 @@ class CsrGraph:
     ``pmod(xxhash64(src, 0), num_blocks)`` (no routing join at all).
     """
 
-    blocks: DataFrame
     hub_salts: DataFrame  # (src long, salt_n int) — hubs only, broadcast-size
     num_blocks: int
+    has_hubs: bool = True  # False -> scatter skips the broadcast join entirely
+    blocks: DataFrame | None = None
+    block_dir: str | None = None
+
+    def pid_col(self):
+        """single block pid for a non-hub ``src`` column (inline expr).
+        The salt operand must be LONG: xxhash64 output depends on the
+        operand type, and the build side hashes a long salt."""
+        return F.pmod(
+            F.xxhash64(F.col("src"), F.lit(0).cast("long")),
+            F.lit(self.num_blocks),
+        ).cast("int")
 
     def pids_col(self):
         """array<int> of DISTINCT block pids for a ``src`` column (inline
@@ -94,6 +122,9 @@ def _build_chunks(key, pdf: pd.DataFrame, max_chunk_edges: int):
         uniq, counts = np.unique(s, return_counts=True)
         offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
+        # dst stored as block-local dense int32 indices into dst_ids —
+        # halves the bytes AND makes the scatter pre-reduce a bincount
+        dst_ids, dst_idx = np.unique(d, return_inverse=True)
         out.append(
             (
                 pid,
@@ -102,7 +133,8 @@ def _build_chunks(key, pdf: pd.DataFrame, max_chunk_edges: int):
                 int(end - start),
                 uniq.tobytes(),
                 offsets.tobytes(),
-                d.tobytes(),
+                dst_ids.tobytes(),
+                dst_idx.astype(np.int32).tobytes(),
                 ww.tobytes(),
             )
         )
@@ -117,7 +149,8 @@ def _build_chunks(key, pdf: pd.DataFrame, max_chunk_edges: int):
             "n_edges",
             "src_ids",
             "offsets",
-            "dsts",
+            "dst_ids",
+            "dst_idx",
             "weights",
         ],
     )
@@ -129,11 +162,11 @@ def build_csr_graph(
     *,
     hub_split_edges: int = DEFAULT_HUB_SPLIT_EDGES,
     max_chunk_edges: int = DEFAULT_MAX_CHUNK_EDGES,
+    storage: str = "files",
+    block_dir: str | None = None,
 ) -> CsrGraph:
-    """One shuffle: assign (src, salt) -> pid, group, pack CSR chunks.
-
-    Returns cached blocks + per-src routing (which blocks hold my edges).
-    """
+    """One shuffle: assign (src, salt) -> pid, group, pack CSR chunks,
+    persist per-pid (parquet side files by default)."""
     spark = edges.sparkSession
     if num_blocks is None:
         num_blocks = max(spark.sparkContext.defaultParallelism, 2)
@@ -158,31 +191,93 @@ def build_csr_graph(
     def build(key, pdf):
         return _build_chunks(key, pdf, max_chunk_edges)
 
-    # groupBy(pid).applyInPandas leaves the output hash-partitioned by pid;
-    # caching preserves that layout, so superstep cogroups need no exchange
-    # on the blocks side.
-    blocks = (
+    built = (
         e.select("pid", "src", "dst", "weight")
         .groupBy("pid")
         .applyInPandas(build, BLOCK_SCHEMA)
-        .cache()
     )
     hub_salts = (
         deg.filter(F.col("__outdeg") > hub_split_edges)
         .select("src", salt_n.alias("salt_n"))
         .cache()
     )
+    n_hubs = hub_salts.count()
+
+    if storage == "files":
+        if block_dir is None:
+            import uuid
+
+            block_dir = os.path.join(
+                tempfile.gettempdir(), f"gds_csr_{uuid.uuid4().hex[:12]}"
+            )
+        built.write.partitionBy("pid").mode("overwrite").parquet(block_dir)
+        return CsrGraph(
+            hub_salts=hub_salts,
+            num_blocks=num_blocks,
+            has_hubs=n_hubs > 0,
+            block_dir=block_dir,
+        )
+
+    # DataFrame/cogroup mode: groupBy(pid).applyInPandas leaves the output
+    # hash-partitioned by pid; caching preserves that layout, so superstep
+    # cogroups need no exchange on the blocks side.
+    blocks = built.cache()
     blocks.count()  # materialize once
-    hub_salts.count()
-    return CsrGraph(blocks=blocks, hub_salts=hub_salts, num_blocks=num_blocks)
+    return CsrGraph(
+        blocks=blocks,
+        hub_salts=hub_salts,
+        num_blocks=num_blocks,
+        has_hubs=n_hubs > 0,
+    )
 
 
-def decode_block_row(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+# ---- worker-resident block cache (python workers are reused across
+# tasks/jobs, so decoded CSR arrays persist across supersteps) ------------
+_BLOCK_CACHE: OrderedDict = OrderedDict()
+_BLOCK_CACHE_MAX = int(os.environ.get("GDS_BLOCK_CACHE_BLOCKS", "256"))
+_COLS = ("src_ids", "offsets", "dst_ids", "dst_idx", "weights")
+_DTYPES = (np.int64, np.int64, np.int64, np.int32, np.float64)
+
+
+def load_block(block_dir: str, pid: int) -> list[tuple]:
+    """Decoded CSR chunks for one pid: list of
+    (src_ids, offsets, dst_ids, dst_idx, weights) numpy arrays.
+    Zero-copy: memory-mapped parquet + buffer views (no .as_py() byte
+    copies); LRU-cached per python worker process, so steady-state
+    supersteps touch only the OS page cache."""
+    key = (block_dir, pid)
+    hit = _BLOCK_CACHE.get(key)
+    if hit is not None:
+        _BLOCK_CACHE.move_to_end(key)
+        return hit
+    import pyarrow.parquet as pq
+
+    chunks = []
+    for path in sorted(
+        glob.glob(os.path.join(block_dir, f"pid={pid}", "*.parquet"))
+    ):
+        t = pq.read_table(path, columns=list(_COLS), memory_map=True)
+        cols = [t.column(c) for c in _COLS]
+        for i in range(t.num_rows):
+            arrays = []
+            for col, dt in zip(cols, _DTYPES):
+                buf = col[i].as_buffer()  # zero-copy view into arrow data
+                arrays.append(np.frombuffer(buf, dtype=dt))
+            chunks.append(tuple(arrays))
+    _BLOCK_CACHE[key] = chunks
+    while len(_BLOCK_CACHE) > _BLOCK_CACHE_MAX:
+        _BLOCK_CACHE.popitem(last=False)
+    return chunks
+
+
+def decode_block_row(row):
+    """(src_ids, offsets, dst_ids, dst_idx, weights) numpy views."""
     src_ids = np.frombuffer(row.src_ids, dtype=np.int64)
     offsets = np.frombuffer(row.offsets, dtype=np.int64)
-    dsts = np.frombuffer(row.dsts, dtype=np.int64)
+    dst_ids = np.frombuffer(row.dst_ids, dtype=np.int64)
+    dst_idx = np.frombuffer(row.dst_idx, dtype=np.int32)
     weights = np.frombuffer(row.weights, dtype=np.float64)
-    return src_ids, offsets, dsts, weights
+    return src_ids, offsets, dst_ids, dst_idx, weights
 
 
 def expand_ranges(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .checkpoint import CheckpointStore, Timer
-from .csr import CsrGraph, expand_ranges
+from .csr import CsrGraph, decode_block_row, expand_ranges
 
 MSG_SCHEMA = "vertex long, msg double"
 
@@ -71,31 +71,35 @@ def _scatter_messages(
 ) -> DataFrame:
     frontier = state.filter(frontier_cond) if frontier_cond is not None else state
     # broadcast the (tiny) hub salt table; non-hub pid is computed inline —
-    # the only shuffle on the state side is the cogroup's groupBy(pid)
-    routed = (
-        frontier.withColumnRenamed("vertex", "src")
-        .join(F.broadcast(csr.hub_salts), "src", "left")
-        .select(
+    # the only shuffle on the state side is the cogroup's groupBy(pid).
+    # No hubs at all -> no join, no per-superstep broadcast (driver-serial
+    # broadcast latency is the #1 Amdahl term in the superstep loop).
+    src_state = frontier.withColumnRenamed("vertex", "src")
+    if csr.has_hubs:
+        routed = src_state.join(
+            F.broadcast(csr.hub_salts), "src", "left"
+        ).select(
             F.explode(csr.pids_col()).alias("pid"),
             F.col("src").alias("vertex"),
             *scatter_cols,
         )
-    )
+    else:
+        routed = src_state.select(
+            csr.pid_col().alias("pid"),
+            F.col("src").alias("vertex"),
+            *scatter_cols,
+        )
 
-    local_reduce = _LOCAL_REDUCE[reducer]
+    _EMPTY = pd.DataFrame({"vertex": pd.Series(dtype="int64"),
+                           "msg": pd.Series(dtype="float64")})
 
-    def scatter_udf(key, block_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
-        if len(block_pdf) == 0 or len(state_pdf) == 0:
-            return pd.DataFrame({"vertex": pd.Series(dtype="int64"),
-                                 "msg": pd.Series(dtype="float64")})
+    def _compute_chunks(chunks, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized message generation + block-local pre-reduce (the
+        map-side combine of the Pregel reducer) — all numpy/C."""
         sv = state_pdf["vertex"].to_numpy(np.int64)
         cols = {c: state_pdf[c].to_numpy(np.float64) for c in scatter_cols}
         outs = []
-        for row in block_pdf.itertuples(index=False):
-            src_ids = np.frombuffer(row.src_ids, dtype=np.int64)
-            offsets = np.frombuffer(row.offsets, dtype=np.int64)
-            dsts = np.frombuffer(row.dsts, dtype=np.int64)
-            weights = np.frombuffer(row.weights, dtype=np.float64)
+        for src_ids, offsets, dst_ids, dst_idx, weights in chunks:
             pos = np.searchsorted(src_ids, sv)
             valid = (pos < len(src_ids))
             valid[valid] &= src_ids[pos[valid]] == sv[valid]
@@ -109,27 +113,74 @@ def _scatter_messages(
                 c: np.repeat(vals[valid], counts) for c, vals in cols.items()
             }
             msg = scatter_fn(iteration, per_edge, weights[edge_idx])
+            tgt = dst_idx[edge_idx]
+            # NaN message == "no message" (reducing-messenger sentinel)
+            finite = ~np.isnan(msg)
+            if not finite.all():
+                msg, tgt = msg[finite], tgt[finite]
+            if len(msg) == 0:
+                continue
+            n_dst = len(dst_ids)
+            if reducer == "sum":
+                acc = np.bincount(tgt, weights=msg, minlength=n_dst)
+                touched = np.bincount(tgt, minlength=n_dst) > 0
+            elif reducer == "count":
+                acc = np.bincount(tgt, minlength=n_dst).astype(np.float64)
+                touched = acc > 0
+            elif reducer == "min":
+                acc = np.full(n_dst, np.inf)
+                np.fmin.at(acc, tgt, msg)
+                touched = ~np.isinf(acc)
+            else:  # max
+                acc = np.full(n_dst, -np.inf)
+                np.fmax.at(acc, tgt, msg)
+                touched = ~np.isinf(acc)
             outs.append(
-                pd.DataFrame({"vertex": dsts[edge_idx], "msg": msg})
+                pd.DataFrame(
+                    {"vertex": dst_ids[touched], "msg": acc[touched]}
+                )
             )
         if not outs:
-            return pd.DataFrame({"vertex": pd.Series(dtype="int64"),
-                                 "msg": pd.Series(dtype="float64")})
-        all_msgs = pd.concat(outs, ignore_index=True)
-        # NaN message == "no message" (reducing-messenger sentinel semantics)
-        all_msgs = all_msgs.dropna(subset=["msg"])
-        # block-local pre-reduce: the map-side combine of the Pregel reducer
-        reduced = getattr(
-            all_msgs.groupby("vertex", sort=False)["msg"], local_reduce
+            return _EMPTY
+        if len(outs) == 1:
+            return outs[0]
+        allm = pd.concat(outs, ignore_index=True)
+        agg = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
+            reducer
+        ]
+        return getattr(
+            allm.groupby("vertex", sort=False)["msg"], agg
         )().reset_index()
-        reduced["msg"] = reduced["msg"].astype("float64")
-        return reduced
 
-    grouped_blocks = csr.blocks.groupby("pid")
-    grouped_state = routed.groupby("pid")
-    msgs = grouped_blocks.cogroup(grouped_state).applyInPandas(
-        scatter_udf, MSG_SCHEMA
-    )
+    if csr.block_dir is not None:
+        block_dir = csr.block_dir
+
+        def scatter_file_udf(key, state_pdf: pd.DataFrame):
+            if len(state_pdf) == 0:
+                return _EMPTY
+            from .csr import load_block
+
+            chunks = load_block(block_dir, int(key[0]))
+            if not chunks:
+                return _EMPTY
+            return _compute_chunks(chunks, state_pdf)
+
+        msgs = routed.groupby("pid").applyInPandas(
+            scatter_file_udf, MSG_SCHEMA
+        )
+    else:
+
+        def scatter_udf(key, block_pdf, state_pdf):
+            if len(block_pdf) == 0 or len(state_pdf) == 0:
+                return _EMPTY
+            chunks = [decode_block_row(row)
+                      for row in block_pdf.itertuples(index=False)]
+            return _compute_chunks(chunks, state_pdf)
+
+        msgs = csr.blocks.groupby("pid").cogroup(
+            routed.groupby("pid")
+        ).applyInPandas(scatter_udf, MSG_SCHEMA)
+
     global_agg = _GLOBAL_REDUCE[reducer]
     return msgs.groupBy("vertex").agg(global_agg("msg").alias("msg"))
 
@@ -156,6 +207,48 @@ def run_pregel(
     from it (same code path — scatter depends only on state).
     """
     state = init_state
+    # AQE re-plans every stage on the driver — pure serial latency in a
+    # tight superstep loop with fixed-size shuffles; turn it off for the
+    # loop and restore afterwards.
+    spark = init_state.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run_pregel_loop(
+            csr, state, scatter_cols, scatter_fn, reducer, apply_fn,
+            frontier_fn, max_iterations, converged_fn, checkpoint,
+            scatter_all,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _run_pregel_loop(
+    csr: CsrGraph,
+    state: DataFrame,
+    scatter_cols: list[str],
+    scatter_fn: Callable,
+    reducer: str,
+    apply_fn: Callable[[DataFrame, DataFrame, int], DataFrame],
+    frontier_fn: Callable[[int], Column],
+    max_iterations: int,
+    converged_fn: Callable[[dict], bool] | None,
+    checkpoint: CheckpointStore | None,
+    scatter_all: bool,
+) -> PregelResult:
+    spark = state.sparkSession
+    jsc = spark.sparkContext._jsc
+
+    def _persistent_ids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _unpersist(ids: set) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
     start_iter = 1
     if checkpoint is not None:
         resumed = checkpoint.latest_complete()
@@ -166,6 +259,10 @@ def run_pregel(
             state = state.localCheckpoint(eager=True)
     else:
         state = state.localCheckpoint(eager=True)
+    # localCheckpoint pins RDD blocks in the block manager; without
+    # explicit cleanup a long run accumulates every iteration's state and
+    # degrades under memory pressure. Free state from >=2 iterations back.
+    ckpt_history: list[set] = []
 
     all_metrics: list[dict] = []
     converged = False
@@ -176,6 +273,8 @@ def run_pregel(
 
     # superstep `start_iter - 1`'s sends happen lazily inside iteration t's
     # message plan: scatter always reads the *current* state.
+    from pyspark.sql import Observation
+
     for t in range(start_iter, max_iterations):
         with Timer() as timer:
             msgs = _scatter_messages(
@@ -183,24 +282,45 @@ def run_pregel(
                 None if scatter_all else frontier_fn(t - 1),
             )
             new_state = apply_fn(state, msgs, t)
+            frontier_next = frontier_fn(t)
             if checkpoint is not None:
                 new_state = checkpoint.write_state(new_state, t)
+                # lineage wants per-partition rows: dedicated aggregate job
+                per_part = (
+                    new_state.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(
+                        F.count(F.lit(1)).alias("rows"),
+                        F.sum(F.abs(F.col("delta"))).alias("l1"),
+                        F.sum(
+                            F.when(frontier_next, 1).otherwise(0)
+                        ).alias("active"),
+                    )
+                    .collect()
+                )
+                rows = sum(r["rows"] for r in per_part)
+                l1 = float(sum(r["l1"] or 0.0 for r in per_part))
+                active = int(sum(r["active"] for r in per_part))
             else:
-                new_state = new_state.localCheckpoint(eager=True)
-
-            frontier_next = frontier_fn(t)
-            per_part = (
-                new_state.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(
+                # fold metrics into the checkpoint action itself (observe):
+                # one Spark job per superstep total
+                obs = Observation(f"superstep_{t}")
+                new_state = new_state.observe(
+                    obs,
                     F.count(F.lit(1)).alias("rows"),
                     F.sum(F.abs(F.col("delta"))).alias("l1"),
-                    F.sum(F.when(frontier_next, 1).otherwise(0)).alias("active"),
+                    F.sum(F.when(frontier_next, 1).otherwise(0)).alias(
+                        "active"
+                    ),
                 )
-                .collect()
-            )
-        rows = sum(r["rows"] for r in per_part)
-        l1 = float(sum(r["l1"] or 0.0 for r in per_part))
-        active = int(sum(r["active"] for r in per_part))
+                before = _persistent_ids()
+                new_state = new_state.localCheckpoint(eager=True)
+                ckpt_history.append(_persistent_ids() - before)
+                if len(ckpt_history) > 2:
+                    _unpersist(ckpt_history.pop(0))
+                got = obs.get
+                rows = got["rows"]
+                l1 = float(got["l1"] or 0.0)
+                active = int(got["active"] or 0)
         metrics = {
             "iteration": t,
             "rows": rows,

@@ -85,13 +85,16 @@ def test_hub_salting_exact(spark):
     )
     hub_row = salted.hub_salts.filter(F.col("src") == hub_id).collect()
     assert hub_row and hub_row[0]["salt_n"] > 1
-    # and its edges really land in >1 distinct block
-    blocks_with_hub = [
-        r["pid"]
-        for r in salted.blocks.collect()
-        if hub_id in np.frombuffer(r["src_ids"], dtype=np.int64)
-    ]
-    assert len(set(blocks_with_hub)) > 1
+    # and its edges really land in >1 distinct block (parquet side files)
+    from graph_data_science_spark.plans.csr import load_block
+
+    blocks_with_hub = {
+        pid
+        for pid in range(salted.num_blocks)
+        for chunk in load_block(salted.block_dir, pid)
+        if hub_id in chunk[0]
+    }
+    assert len(blocks_with_hub) > 1
     r1 = pagerank(g, max_iterations=10, tolerance=0.0, csr=plain)
     r2 = pagerank(g, max_iterations=10, tolerance=0.0, csr=salted)
     s1 = {r["internal_id"]: r["score"] for r in r1.scores.collect()}
@@ -103,8 +106,9 @@ def test_hub_salting_exact(spark):
 def test_partition_count_invariance(spark):
     g = from_edge_list(spark, EDGES, node_ids=NODES)
     outs = []
-    for nb in (1, 3, 7):
-        csr = build_csr_graph(g.edges, num_blocks=nb)
+    for nb, storage in ((1, "files"), (3, "files"), (7, "files"),
+                        (3, "dataframe")):
+        csr = build_csr_graph(g.edges, num_blocks=nb, storage=storage)
         out = pagerank(g, tolerance=0.0, max_iterations=15, csr=csr)
         outs.append({r["internal_id"]: r["score"] for r in out.scores.collect()})
     for other in outs[1:]:
