@@ -200,6 +200,33 @@ class GraphCatalog:
             e = spark.read.parquet(f"{path}/relationships")
         return Graph(v, e)
 
+    # -- model catalog (gds.beta.model.{list,exists,drop},
+    #    gds.alpha.model.{load,store,publish,delete}) ---------------------
+    _models: dict = None  # type: ignore[assignment]
+
+    def _model_store(self) -> dict:
+        if self._models is None:
+            self._models = {}
+        return self._models
+
+    def model_store(self, name: str, model: dict) -> None:
+        """Register a trained-model artifact (metadata + payload paths)."""
+        self._model_store()[name] = dict(model)
+
+    def model_exists(self, name: str) -> bool:
+        return name in self._model_store()
+
+    def model_list(self) -> list[dict]:
+        return [
+            {"modelName": n, **{k: v for k, v in m.items() if k != "payload"}}
+            for n, m in self._model_store().items()
+        ]
+
+    def model_drop(self, name: str) -> None:
+        if name not in self._model_store():
+            raise KeyError(f"model '{name}' not found")
+        del self._model_store()[name]
+
     def degree_distribution(self, name: str) -> dict:
         """ref: GraphStoreCatalog.getDegreeDistribution:112 — percentile
         summary of out-degrees."""
