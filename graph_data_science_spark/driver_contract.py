@@ -150,6 +150,196 @@ def sql_pagerank() -> str:
     )
 
 
+# -- ArticleRank ---------------------------------------------------------
+AR_ITERS = 6
+
+
+def q_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagerank import article_rank
+
+    g = _graph_pr(spark, sf_dir)
+    out = article_rank(
+        g, damping=PR_DAMPING, tolerance=0.0, max_iterations=AR_ITERS + 1
+    ).scores
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def sql_article_rank() -> str:
+    # r_{t+1} = 0.15 + 0.85 * avgDeg * sum_in(r_t / (deg + avgDeg))
+    ctes = [
+        f"edges AS ({SQL_EDGES_PR})",
+        f"nodes AS ({SQL_NODES_SP})",
+        "nv AS (SELECT COUNT(*) AS n FROM nodes)",
+        "ne AS (SELECT COUNT(*) AS m FROM edges)",
+        "avgdeg AS (SELECT CAST(m AS DOUBLE)/n AS a FROM ne, nv)",
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) + "
+        "(SELECT a FROM avgdeg) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for k in range(1, AR_ITERS + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.id, 0.15 + {PR_DAMPING} * "
+            f"(SELECT a FROM avgdeg) * COALESCE(m.s, 0) AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.rank / d.deg) AS s "
+            f"FROM edges e JOIN r{k - 1} r ON r.id = e.src "
+            f"JOIN deg d ON d.id = e.src GROUP BY e.dst) m ON m.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS score FROM r{AR_ITERS}"
+    )
+
+
+# -- Eigenvector ---------------------------------------------------------
+EV_ITERS = 5
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagerank import eigenvector
+
+    g = _graph_pr(spark, sf_dir)
+    out = eigenvector(
+        g, tolerance=0.0, max_iterations=EV_ITERS + 1
+    ).scores
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def sql_eigenvector() -> str:
+    # mirrors the delta-free power iteration on (A + I): superstep-0
+    # messages carry the UNNORMALIZED init (1/n); rank is L2-normalized
+    # after every update (masterCompute semantics)
+    ctes = [
+        f"edges AS ({SQL_EDGES_PR})",
+        f"nodes AS ({SQL_NODES_SP})",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "raw0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS r FROM nodes)",
+        # normalized init (what rank holds entering update 1)
+        "r0 AS (SELECT id, r / (SELECT sqrt(SUM(r*r)) FROM raw0) AS r "
+        "FROM raw0)",
+        # update 1 uses raw0 messages
+        "u1 AS (SELECT n.id, r0.r + COALESCE(m.s, 0) AS u FROM nodes n "
+        "JOIN r0 ON r0.id = n.id LEFT JOIN ("
+        "SELECT e.dst AS id, SUM(r.r) AS s FROM edges e "
+        "JOIN raw0 r ON r.id = e.src GROUP BY e.dst) m ON m.id = n.id)",
+        "r1 AS (SELECT id, u / (SELECT sqrt(SUM(u*u)) FROM u1) AS r FROM u1)",
+    ]
+    for k in range(2, EV_ITERS + 1):
+        ctes.append(
+            f"u{k} AS (SELECT n.id, p.r + COALESCE(m.s, 0) AS u "
+            f"FROM nodes n JOIN r{k - 1} p ON p.id = n.id LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.r) AS s FROM edges e "
+            f"JOIN r{k - 1} r ON r.id = e.src GROUP BY e.dst) m "
+            f"ON m.id = n.id)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT id, u / (SELECT sqrt(SUM(u*u)) FROM u{k}) "
+            f"AS r FROM u{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(r, 6) AS score FROM r{EV_ITERS}"
+    )
+
+
+# -- Closeness / harmonic (MSBFS) ---------------------------------------
+CLOSENESS_MAX_DIST = 12
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.closeness import closeness_centrality
+
+    g = _graph_ss(spark, sf_dir)
+    out = closeness_centrality(g)
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def sql_closeness() -> str:
+    return f"""
+WITH RECURSIVE
+canon AS ({SQL_EDGES_SS}),
+sym AS (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+reach(s, v, dist) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION
+  SELECT r.s, e.dst, r.dist + 1 FROM reach r JOIN sym e ON e.src = r.v
+  WHERE r.dist < {CLOSENESS_MAX_DIST}
+),
+best AS (SELECT s, v, MIN(dist) AS d FROM reach GROUP BY s, v),
+farness AS (SELECT s AS id, SUM(d) AS far FROM best WHERE v != s GROUP BY s)
+SELECT n.id,
+  ROUND(CASE WHEN COALESCE(f.far, 0) > 0
+        THEN ((SELECT n FROM nv) - 1) / f.far ELSE 0.0 END, 6) AS score
+FROM nodes n LEFT JOIN farness f ON f.id = n.id
+"""
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.closeness import harmonic_centrality
+
+    g = _graph_ss(spark, sf_dir)
+    out = harmonic_centrality(g)
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def sql_harmonic() -> str:
+    return f"""
+WITH RECURSIVE
+canon AS ({SQL_EDGES_SS}),
+sym AS (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+reach(s, v, dist) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION
+  SELECT r.s, e.dst, r.dist + 1 FROM reach r JOIN sym e ON e.src = r.v
+  WHERE r.dist < {CLOSENESS_MAX_DIST}
+),
+best AS (SELECT s, v, MIN(dist) AS d FROM reach GROUP BY s, v),
+hsum AS (SELECT s AS id, SUM(1.0 / d) AS h FROM best WHERE v != s GROUP BY s)
+SELECT n.id,
+  ROUND(COALESCE(h.h, 0) / ((SELECT n FROM nv) - 1), 6) AS score
+FROM nodes n LEFT JOIN hsum h ON h.id = n.id
+"""
+
+
+# -- SSSP ----------------------------------------------------------------
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source hop distances from the smallest supplier id over the
+    co-supplier graph (gds.beta.shortestPath.dijkstra cost surface)."""
+    from .operators.traverse import sssp
+
+    g = _graph_ss(spark, sf_dir)
+    src = g.vertices.agg(F.min("internal_id")).collect()[0][0]
+    out = sssp(g, int(src), weighted=False)
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.round("distance", 6).alias("distance"))
+
+
+def sql_sssp() -> str:
+    return f"""
+WITH RECURSIVE
+canon AS ({SQL_EDGES_SS}),
+sym AS (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+s0 AS (SELECT MIN(id) AS src FROM nodes),
+reach(v, dist) AS (
+  SELECT src, 0 FROM s0
+  UNION
+  SELECT e.dst, r.dist + 1 FROM reach r JOIN sym e ON e.src = r.v
+  WHERE r.dist < {CLOSENESS_MAX_DIST}
+)
+SELECT v AS id, ROUND(CAST(MIN(dist) AS DOUBLE), 6) AS distance
+FROM reach GROUP BY v
+"""
+
+
 # -- WCC -----------------------------------------------------------------
 def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph_sp(spark, sf_dir)
@@ -638,6 +828,11 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": q_pagerank,
+        "article_rank": q_article_rank,
+        "eigenvector": q_eigenvector,
+        "closeness": q_closeness,
+        "harmonic": q_harmonic,
+        "sssp": q_sssp,
         "wcc": q_wcc,
         "component_count": q_component_count,
         "label_propagation": q_label_propagation,
@@ -665,6 +860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": sql_pagerank(),
+        "article_rank": sql_article_rank(),
+        "eigenvector": sql_eigenvector(),
+        "closeness": sql_closeness(),
+        "harmonic": sql_harmonic(),
+        "sssp": sql_sssp(),
         "wcc": sql_wcc(),
         "component_count": sql_component_count(),
         "label_propagation": sql_label_propagation(),

@@ -6,16 +6,20 @@ reducer/applyRelationshipWeight; run loop Pregel.java:137-165; vote/wake
 ComputeStep.java:99-103) re-expressed for Spark's execution model:
 
 superstep t =
-    scatter : frontier state ⋈ routing → explode(pids) → groupBy(pid)
-              cogroup CSR blocks → vectorized numpy message generation
-              with **block-local pre-reduce** (the map-side combine),
+    scatter : frontier state (pid = inline hash; hub salts broadcast) →
+              groupBy(pid).applyInPandas against worker-cached CSR block
+              files → vectorized numpy message generation with
+              **block-local pre-reduce** (np.bincount — the map-side
+              combine). Only vertex state crosses the shuffle; block
+              bytes stay memory-mapped in the reused python workers,
     gather  : groupBy(vertex).agg(<associative reducer>)  — one shuffle,
     apply   : state ⋈ messages → column expressions (JVM-side),
     persist : checkpoint parquet write + re-read (plan truncation + resume)
-              or localCheckpoint,
-    metrics : one per-partition aggregate job → lineage rows
-              (iteration, partition_id, rows, delta_norm, wall_time)
-              + global L1/frontier counts for convergence.
+              or localCheckpoint (+ explicit unpersist of old states),
+    metrics : folded into the persist action via Observation (no extra
+              job); with a CheckpointStore, a per-partition aggregate
+              feeds lineage rows (iteration, partition_id, rows,
+              delta_norm, wall_time).
 
 Messages are doubles and reducers are Sum/Min/Max/Count, exactly the
 reference's reducing-messenger surface (ref: beta/pregel/Reducer.java:44-126).
@@ -95,46 +99,49 @@ def _scatter_messages(
 
     def _compute_chunks(chunks, state_pdf: pd.DataFrame) -> pd.DataFrame:
         """Vectorized message generation + block-local pre-reduce (the
-        map-side combine of the Pregel reducer) — all numpy/C."""
+        map-side combine of the Pregel reducer) over CSC chunks.
+
+        Per-edge source values come from a gather out of an n_src-sized
+        (cache-resident) array; the reduce is sequential ``reduceat`` over
+        the dst runs. Sources absent from the frontier contribute NaN,
+        which scatter arithmetic propagates — NaN == "no message"
+        (reducing-messenger sentinel), so frontier filtering and message
+        suppression share one mask.
+        """
         sv = state_pdf["vertex"].to_numpy(np.int64)
         cols = {c: state_pdf[c].to_numpy(np.float64) for c in scatter_cols}
         outs = []
-        for src_ids, offsets, dst_ids, dst_idx, weights in chunks:
+        for src_ids, dst_ids, dst_offsets, src_idx, weights in chunks:
             pos = np.searchsorted(src_ids, sv)
             valid = (pos < len(src_ids))
             valid[valid] &= src_ids[pos[valid]] == sv[valid]
             if not valid.any():
                 continue
             vpos = pos[valid]
-            starts, ends = offsets[vpos], offsets[vpos + 1]
-            counts = ends - starts
-            edge_idx = expand_ranges(starts, ends)
-            per_edge = {
-                c: np.repeat(vals[valid], counts) for c, vals in cols.items()
-            }
-            msg = scatter_fn(iteration, per_edge, weights[edge_idx])
-            tgt = dst_idx[edge_idx]
-            # NaN message == "no message" (reducing-messenger sentinel)
-            finite = ~np.isnan(msg)
-            if not finite.all():
-                msg, tgt = msg[finite], tgt[finite]
-            if len(msg) == 0:
+            per_edge = {}
+            for c, vals in cols.items():
+                arr = np.full(len(src_ids), np.nan)
+                arr[vpos] = vals[valid]
+                per_edge[c] = arr[src_idx]
+            msg = scatter_fn(iteration, per_edge, weights)
+            sent = ~np.isnan(msg)
+            if not sent.any():
                 continue
-            n_dst = len(dst_ids)
+            starts = dst_offsets[:-1]
+            cnts = np.add.reduceat(sent.astype(np.float64), starts)
+            touched = cnts > 0
             if reducer == "sum":
-                acc = np.bincount(tgt, weights=msg, minlength=n_dst)
-                touched = np.bincount(tgt, minlength=n_dst) > 0
+                acc = np.add.reduceat(np.where(sent, msg, 0.0), starts)
             elif reducer == "count":
-                acc = np.bincount(tgt, minlength=n_dst).astype(np.float64)
-                touched = acc > 0
+                acc = cnts
             elif reducer == "min":
-                acc = np.full(n_dst, np.inf)
-                np.fmin.at(acc, tgt, msg)
-                touched = ~np.isinf(acc)
+                acc = np.minimum.reduceat(
+                    np.where(sent, msg, np.inf), starts
+                )
             else:  # max
-                acc = np.full(n_dst, -np.inf)
-                np.fmax.at(acc, tgt, msg)
-                touched = ~np.isinf(acc)
+                acc = np.maximum.reduceat(
+                    np.where(sent, msg, -np.inf), starts
+                )
             outs.append(
                 pd.DataFrame(
                     {"vertex": dst_ids[touched], "msg": acc[touched]}
@@ -212,7 +219,10 @@ def run_pregel(
     # loop and restore afterwards.
     spark = init_state.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    smj_before = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # state⋈messages each superstep: hash join beats re-sorting both sides
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     try:
         return _run_pregel_loop(
             csr, state, scatter_cols, scatter_fn, reducer, apply_fn,
@@ -221,6 +231,7 @@ def run_pregel(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", smj_before)
 
 
 def _run_pregel_loop(

@@ -43,6 +43,17 @@ def ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def _local_dirs() -> str:
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "graph-data-science-spark",
     master: str | None = None,
@@ -62,6 +73,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # single-machine local mode: no rack/host locality to wait for
         .config("spark.locality.wait", "0s")
+        # shuffle files on tmpfs when available: a real cluster has one
+        # local SSD per executor (shuffle bandwidth scales with N); a
+        # single shared virtual disk does not — tmpfs restores that
+        # scaling behavior in local mode
+        .config("spark.local.dir", _local_dirs())
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # iterative loops re-use mid-plan results; don't let broadcast
