@@ -27,6 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
@@ -128,6 +129,22 @@ def pagerank(
             ).otherwise(F.lit(0.0)).alias("push"),
         )
 
+    def apply_np(state_pdf, msg_vals, t):
+        """Packed fast path: same arithmetic as apply_fn, pure numpy."""
+        coeff = damping * delta_coefficient
+        delta = np.where(np.isnan(msg_vals), 0.0, msg_vals) * coeff
+        deg = state_pdf["degree"].to_numpy(np.float64)
+        out = pd.DataFrame(
+            {
+                "vertex": state_pdf["vertex"].to_numpy(np.int64),
+                "degree": deg,
+                "rank": state_pdf["rank"].to_numpy(np.float64) + delta,
+                "delta": delta,
+                "push": np.where(deg > 0, delta / np.where(deg > 0, deg, 1.0), 0.0),
+            }
+        )
+        return out
+
     def frontier_fn(t):
         if t == 0:
             return F.col("delta") != 0.0
@@ -148,6 +165,7 @@ def pagerank(
         max_iterations=max_iterations,
         converged_fn=converged_fn,
         checkpoint=checkpoint,
+        apply_np=apply_np,
     )
 
     scores = result.state.select(

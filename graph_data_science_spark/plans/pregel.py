@@ -192,6 +192,158 @@ def _scatter_messages(
     return msgs.groupBy("vertex").agg(global_agg("msg").alias("msg"))
 
 
+PACKED_SCHEMA = "bucket int, vertices binary, msgs binary"
+
+
+def _scatter_packed(
+    csr: CsrGraph,
+    state: DataFrame,
+    iteration: int,
+    scatter_cols: list[str],
+    scatter_fn: Callable,
+    reducer: str,
+    frontier_cond: Column | None,
+    bucket_width: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Scatter emitting per-(block, bucket) PACKED message arrays.
+
+    Each output row carries two binary cells (int64 vertex ids + float64
+    pre-reduced values) covering one contiguous vertex-range bucket — a
+    few thousand rows total instead of O(E) per-message rows, so the JVM
+    never touches messages row-wise. Exact because reducers are
+    associative: the bucket combiner finishes the reduction.
+    """
+    frontier = state.filter(frontier_cond) if frontier_cond is not None else state
+    src_state = frontier.withColumnRenamed("vertex", "src")
+    if csr.has_hubs:
+        routed = src_state.join(
+            F.broadcast(csr.hub_salts), "src", "left"
+        ).select(
+            F.explode(csr.pids_col()).alias("pid"),
+            F.col("src").alias("vertex"),
+            *scatter_cols,
+        )
+    else:
+        routed = src_state.select(
+            csr.pid_col().alias("pid"),
+            F.col("src").alias("vertex"),
+            *scatter_cols,
+        )
+    block_dir = csr.block_dir
+    bucket_edges = np.arange(1, n_buckets + 1, dtype=np.int64) * bucket_width
+
+    def scatter_udf(key, state_pdf: pd.DataFrame):
+        from .csr import load_block
+
+        out_b, out_v, out_m = [], [], []
+        if len(state_pdf) == 0:
+            return pd.DataFrame({"bucket": [], "vertices": [], "msgs": []})
+        sv = state_pdf["vertex"].to_numpy(np.int64)
+        cols = {c: state_pdf[c].to_numpy(np.float64) for c in scatter_cols}
+        for chunk in load_block(block_dir, int(key[0])):
+            src_ids, dst_ids, dst_offsets, src_idx, weights = chunk
+            pos = np.searchsorted(src_ids, sv)
+            valid = (pos < len(src_ids))
+            valid[valid] &= src_ids[pos[valid]] == sv[valid]
+            if not valid.any():
+                continue
+            per_edge = {}
+            for c, vals in cols.items():
+                arr = np.full(len(src_ids), np.nan)
+                arr[pos[valid]] = vals[valid]
+                per_edge[c] = arr[src_idx]
+            msg = scatter_fn(iteration, per_edge, weights)
+            sent = ~np.isnan(msg)
+            if not sent.any():
+                continue
+            starts = dst_offsets[:-1]
+            cnts = np.add.reduceat(sent.astype(np.float64), starts)
+            touched = cnts > 0
+            if reducer == "sum":
+                acc = np.add.reduceat(np.where(sent, msg, 0.0), starts)
+            elif reducer == "count":
+                acc = cnts
+            elif reducer == "min":
+                acc = np.minimum.reduceat(
+                    np.where(sent, msg, np.inf), starts
+                )
+            else:
+                acc = np.maximum.reduceat(
+                    np.where(sent, msg, -np.inf), starts
+                )
+            verts = dst_ids[touched]
+            vals = acc[touched]
+            # split into contiguous vertex-range buckets (dst_ids sorted)
+            cut = np.searchsorted(verts, bucket_edges)
+            lo = 0
+            for b in range(n_buckets):
+                hi = cut[b]
+                if hi > lo:
+                    out_b.append(b)
+                    out_v.append(verts[lo:hi].tobytes())
+                    out_m.append(vals[lo:hi].tobytes())
+                lo = hi
+        return pd.DataFrame(
+            {"bucket": pd.Series(out_b, dtype="int32"),
+             "vertices": out_v, "msgs": out_m}
+        )
+
+    return routed.groupby("pid").applyInPandas(scatter_udf, PACKED_SCHEMA)
+
+
+def _combine_apply_packed(
+    packed: DataFrame,
+    state: DataFrame,
+    iteration: int,
+    reducer: str,
+    apply_np: Callable,
+    bucket_width: int,
+) -> DataFrame:
+    """cogroup(packed msgs, state) by vertex-range bucket; the final
+    reduce runs over a bucket-sized (cache-resident) dense array; apply
+    is a numpy callback producing the new state rows directly — messages
+    never materialize as rows anywhere."""
+    out_schema = state.schema
+
+    def combine(key, msgs_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        if len(state_pdf) == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="float64") for f in out_schema}
+            )
+        base = int(key[0]) * bucket_width
+        if reducer in ("sum", "count"):
+            acc = np.zeros(bucket_width)
+            fill = 0.0
+        elif reducer == "min":
+            acc = np.full(bucket_width, np.inf)
+            fill = np.inf
+        else:
+            acc = np.full(bucket_width, -np.inf)
+            fill = -np.inf
+        cnt = np.zeros(bucket_width)
+        for row in msgs_pdf.itertuples(index=False):
+            v = np.frombuffer(row.vertices, dtype=np.int64) - base
+            m = np.frombuffer(row.msgs, dtype=np.float64)
+            if reducer in ("sum", "count"):
+                np.add.at(acc, v, m)
+            elif reducer == "min":
+                np.fmin.at(acc, v, m)
+            else:
+                np.fmax.at(acc, v, m)
+            np.add.at(cnt, v, 1.0)
+        sidx = state_pdf["vertex"].to_numpy(np.int64) - base
+        received = cnt[sidx] > 0
+        msg_vals = np.where(received, acc[sidx], np.nan)
+        return apply_np(state_pdf, msg_vals, iteration)
+
+    bucket_col = (F.col("vertex") / bucket_width).cast("int")
+    grouped_state = state.withColumn("bucket", bucket_col).groupby("bucket")
+    return packed.groupby("bucket").cogroup(grouped_state).applyInPandas(
+        combine, out_schema
+    )
+
+
 def run_pregel(
     csr: CsrGraph,
     init_state: DataFrame,
@@ -205,10 +357,17 @@ def run_pregel(
     converged_fn: Callable[[dict], bool] | None = None,
     checkpoint: CheckpointStore | None = None,
     scatter_all: bool = False,
+    apply_np: Callable | None = None,
 ) -> PregelResult:
     """Run the superstep loop. ``init_state`` must contain columns
     ``vertex long`` and ``delta double`` (delta feeds lineage's delta_norm
     and the default convergence frontier) plus whatever the algorithm needs.
+
+    ``apply_np(state_pdf, msg_values, iteration) -> state_pdf`` enables the
+    packed fast path (messages stay in packed numpy arrays end-to-end;
+    requires file-backed CSR blocks and dense vertex ids). ``apply_fn``
+    remains the row/DataFrame fallback used when apply_np is None or the
+    CSR is in cogroup mode.
 
     Resume: if ``checkpoint`` holds a complete iteration, the loop restarts
     from it (same code path — scatter depends only on state).
@@ -227,7 +386,7 @@ def run_pregel(
         return _run_pregel_loop(
             csr, state, scatter_cols, scatter_fn, reducer, apply_fn,
             frontier_fn, max_iterations, converged_fn, checkpoint,
-            scatter_all,
+            scatter_all, apply_np,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -246,9 +405,19 @@ def _run_pregel_loop(
     converged_fn: Callable[[dict], bool] | None,
     checkpoint: CheckpointStore | None,
     scatter_all: bool,
+    apply_np: Callable | None = None,
 ) -> PregelResult:
     spark = state.sparkSession
     jsc = spark.sparkContext._jsc
+
+    use_packed = apply_np is not None and csr.block_dir is not None
+    if use_packed:
+        n_vertices = int(
+            state.agg(F.max("vertex")).collect()[0][0] or 0
+        ) + 1
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        bucket_width = max(1, -(-n_vertices // n_buckets))
+        n_buckets = -(-n_vertices // bucket_width)
 
     def _persistent_ids() -> set:
         return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
@@ -288,11 +457,21 @@ def _run_pregel_loop(
 
     for t in range(start_iter, max_iterations):
         with Timer() as timer:
-            msgs = _scatter_messages(
-                csr, state, t - 1, scatter_cols, scatter_fn, reducer,
-                None if scatter_all else frontier_fn(t - 1),
-            )
-            new_state = apply_fn(state, msgs, t)
+            if use_packed:
+                packed = _scatter_packed(
+                    csr, state, t - 1, scatter_cols, scatter_fn, reducer,
+                    None if scatter_all else frontier_fn(t - 1),
+                    bucket_width, n_buckets,
+                )
+                new_state = _combine_apply_packed(
+                    packed, state, t, reducer, apply_np, bucket_width
+                )
+            else:
+                msgs = _scatter_messages(
+                    csr, state, t - 1, scatter_cols, scatter_fn, reducer,
+                    None if scatter_all else frontier_fn(t - 1),
+                )
+                new_state = apply_fn(state, msgs, t)
             frontier_next = frontier_fn(t)
             if checkpoint is not None:
                 new_state = checkpoint.write_state(new_state, t)
