@@ -130,8 +130,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_pagerank() -> str:
     ctes = [
-        f"edges AS ({SQL_EDGES_PR})",
-        f"nodes AS ({SQL_NODES_SP})",
+        f"edges AS MATERIALIZED ({SQL_EDGES_PR})",
+        f"nodes AS MATERIALIZED ({SQL_NODES_SP})",
         "deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg "
         "FROM edges GROUP BY src)",
         "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes)",
@@ -155,21 +155,30 @@ AR_ITERS = 6
 
 
 def q_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS-1.6 ArticleRank is unnormalized and diverges on this dense graph
+    # (scores ~1e9 after 6 iterations), so ROUND(x, 6) would hash-flip on
+    # float-summation-order noise. Both sides apply the GDS L2NORM scaler
+    # (PageRankAlgorithm.java:77-97) to compare at a well-conditioned scale.
     from .operators.pagerank import article_rank
 
     g = _graph_pr(spark, sf_dir)
     out = article_rank(
-        g, damping=PR_DAMPING, tolerance=0.0, max_iterations=AR_ITERS + 1
+        g,
+        damping=PR_DAMPING,
+        tolerance=0.0,
+        max_iterations=AR_ITERS + 1,
+        scaler="L2NORM",
     ).scores
     out = _to_original(out, g.vertices, "internal_id", "id")
     return out.select("id", F.round("score", 6).alias("score"))
 
 
 def sql_article_rank() -> str:
-    # r_{t+1} = 0.15 + 0.85 * avgDeg * sum_in(r_t / (deg + avgDeg))
+    # r_{t+1} = 0.15 + 0.85 * avgDeg * sum_in(r_t / (deg + avgDeg));
+    # final scores L2-normalized (mirrors scaler="L2NORM" on the Spark side)
     ctes = [
-        f"edges AS ({SQL_EDGES_PR})",
-        f"nodes AS ({SQL_NODES_SP})",
+        f"edges AS MATERIALIZED ({SQL_EDGES_PR})",
+        f"nodes AS MATERIALIZED ({SQL_NODES_SP})",
         "nv AS (SELECT COUNT(*) AS n FROM nodes)",
         "ne AS (SELECT COUNT(*) AS m FROM edges)",
         "avgdeg AS (SELECT CAST(m AS DOUBLE)/n AS a FROM ne, nv)",
@@ -188,7 +197,8 @@ def sql_article_rank() -> str:
         )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, ROUND(rank, 6) AS score FROM r{AR_ITERS}"
+        + f"\nSELECT id, ROUND(rank / (SELECT sqrt(SUM(rank*rank)) "
+        + f"FROM r{AR_ITERS}), 6) AS score FROM r{AR_ITERS}"
     )
 
 
@@ -212,8 +222,8 @@ def sql_eigenvector() -> str:
     # messages carry the UNNORMALIZED init (1/n); rank is L2-normalized
     # after every update (masterCompute semantics)
     ctes = [
-        f"edges AS ({SQL_EDGES_PR})",
-        f"nodes AS ({SQL_NODES_SP})",
+        f"edges AS MATERIALIZED ({SQL_EDGES_PR})",
+        f"nodes AS MATERIALIZED ({SQL_NODES_SP})",
         "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
         "raw0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS r FROM nodes)",
         # normalized init (what rank holds entering update 1)
@@ -245,7 +255,13 @@ def sql_eigenvector() -> str:
 
 
 # -- Closeness / harmonic (MSBFS) ---------------------------------------
-CLOSENESS_MAX_DIST = 12
+# BFS-depth cap for the DuckDB recursive oracles only (the Spark side is
+# uncapped). Must exceed the oracle graph's eccentricity or the gate fails
+# (or masks a bug) with the engine being right. The contract co-supplier
+# graph is near-complete: measured diameter is 1 at sf0.01 and stays O(1)
+# at every TPC-H sf (every popular part links its suppliers pairwise), so
+# 24 is >20× headroom; the recursive CTE's work grows only linearly in it.
+CLOSENESS_MAX_DIST = 24
 
 
 def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,8 +276,8 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_closeness() -> str:
     return f"""
 WITH RECURSIVE
-canon AS ({SQL_EDGES_SS}),
-sym AS (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
+canon AS MATERIALIZED ({SQL_EDGES_SS}),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
 nodes AS (SELECT DISTINCT src AS id FROM sym),
 nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 reach(s, v, dist) AS (
@@ -291,8 +307,8 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_harmonic() -> str:
     return f"""
 WITH RECURSIVE
-canon AS ({SQL_EDGES_SS}),
-sym AS (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
+canon AS MATERIALIZED ({SQL_EDGES_SS}),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
 nodes AS (SELECT DISTINCT src AS id FROM sym),
 nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 reach(s, v, dist) AS (
@@ -325,8 +341,8 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_sssp() -> str:
     return f"""
 WITH RECURSIVE
-canon AS ({SQL_EDGES_SS}),
-sym AS (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
+canon AS MATERIALIZED ({SQL_EDGES_SS}),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
 nodes AS (SELECT DISTINCT src AS id FROM sym),
 s0 AS (SELECT MIN(id) AS src FROM nodes),
 reach(v, dist) AS (
@@ -395,8 +411,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_label_propagation() -> str:
     ctes = [
-        f"canon AS ({SQL_EDGES_SS})",
-        "sym AS (SELECT a AS src, b AS dst FROM canon "
+        f"canon AS MATERIALIZED ({SQL_EDGES_SS})",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon "
         "UNION ALL SELECT b, a FROM canon)",
         "nodes AS (SELECT DISTINCT src AS id FROM sym)",
         "l0 AS (SELECT id, id AS label FROM nodes)",
@@ -825,6 +841,18 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- registry ------------------------------------------------------------
+def _ext_queries():
+    from .driver_contract_ext import ext_queries
+
+    return ext_queries()
+
+
+def _ext_oracle_sql():
+    from .driver_contract_ext import ext_oracle_sql
+
+    return ext_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": q_pagerank,
@@ -854,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        **_ext_queries(),
     }
 
 
@@ -885,4 +914,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": sql_embedding_topk(),
         # minhash_dedup / simhash / embedding_topk_lsh: engine-specific
         # hashing or approximate recall — rows-only checks by design
+        **_ext_oracle_sql(),
     }

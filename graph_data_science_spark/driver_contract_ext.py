@@ -1,0 +1,1118 @@
+"""Contract registry extension — oracle entries for the operators that
+round 1 left pytest-only (VERDICT §"What's missing" item 2).
+
+Derived graphs shared by Spark + DuckDB (all arithmetic-only so both
+engines compute identical structures):
+
+- ``MOD graph``   — directed supplier graph with cycles:
+  src = l_suppkey, dst = ((l_suppkey + l_partkey % 37) % n_supp) + 1.
+  Sparse-ish (out-degree ≤ 37), diameter ~3: exercises BFS levels, SCC
+  rounds, Brandes waves, HITS without the degeneracy of the (complete)
+  co-supplier graph.
+- ``2-hop DAG``   — customer → order → supplier with arithmetic weights:
+  exact shortest-path / Yens / A* oracles in plain SQL (no recursion).
+- ``signed co-supplier`` — canonical a<b supplier pairs with sign
+  −1 iff (a+b) % 3 == 0: balanced-triads oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .driver_contract import (
+    SQL_EDGES_SP,
+    SQL_EDGES_SS,
+    SQL_NODES_SP,
+    _graph_pr,
+    _graph_sp,
+    _lineitem,
+    _to_original,
+    edges_ss,
+    sql_wcc,
+)
+from .graph import from_edge_df
+
+# ---------------------------------------------------------------------------
+# MOD graph
+# ---------------------------------------------------------------------------
+
+
+def _n_supp(spark: SparkSession, sf_dir: str) -> int:
+    return spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+
+
+SQL_NSUPP = "(SELECT COUNT(*) FROM supplier)"
+
+
+def sql_edges_mod() -> str:
+    return (
+        "SELECT DISTINCT l_suppkey AS src, "
+        f"((l_suppkey + l_partkey % 37) % {SQL_NSUPP}) + 1 AS dst "
+        "FROM lineitem "
+        f"WHERE l_suppkey != ((l_suppkey + l_partkey % 37) % {SQL_NSUPP}) + 1"
+    )
+
+
+def edges_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ns = _n_supp(spark, sf_dir)
+    dst = F.pmod(
+        F.col("l_suppkey") + F.pmod(F.col("l_partkey"), F.lit(37)),
+        F.lit(ns),
+    ) + 1
+    return (
+        _lineitem(spark, sf_dir)
+        .select(F.col("l_suppkey").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _graph_mod(spark: SparkSession, sf_dir: str):
+    return from_edge_df(edges_mod(spark, sf_dir))
+
+
+# NOTE: under WITH RECURSIVE, DuckDB parses ANY `A UNION B` CTE body as a
+# recursive CTE (base/step) and concatenates WITHOUT dedup — so the dedup
+# must be an explicit DISTINCT over UNION ALL.
+SQL_MOD_CTES = (
+    "edges AS MATERIALIZED ({edges}),\n"
+    "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+    "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))"
+)
+
+
+def _mod_header() -> str:
+    return SQL_MOD_CTES.format(edges=sql_edges_mod())
+
+
+# -- BFS -------------------------------------------------------------------
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.traverse import bfs
+
+    g = _graph_mod(spark, sf_dir)
+    src = g.vertices.agg(F.min("internal_id")).collect()[0][0]
+    out = bfs(g, int(src))
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.col("hop").cast("long").alias("hop"))
+
+
+def sql_bfs() -> str:
+    return f"""
+WITH RECURSIVE
+{_mod_header()},
+s0 AS (SELECT MIN(id) AS s FROM nodes),
+reach(v, hop) AS (
+  SELECT s, 0 FROM s0
+  UNION
+  SELECT e.dst, r.hop + 1 FROM reach r JOIN edges e ON e.src = r.v
+  WHERE r.hop < 20
+)
+SELECT v AS id, CAST(MIN(hop) AS BIGINT) AS hop FROM reach GROUP BY v
+"""
+
+
+# -- SCC -------------------------------------------------------------------
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scc import scc
+
+    g = _graph_mod(spark, sf_dir)
+    out = scc(g)
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return _to_original(out, g.vertices, "component", "component").select(
+        "id", "component"
+    )
+
+
+def sql_scc() -> str:
+    # component id == MAX member id of the SCC (the FB-coloring root is
+    # always its SCC's max id: any larger member reaches the root, which
+    # would raise the root's color above itself)
+    return f"""
+WITH RECURSIVE
+{_mod_header()},
+reach(s, v) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT a.s AS id, MAX(a.v) AS component
+FROM reach a JOIN reach b ON a.s = b.v AND a.v = b.s
+GROUP BY a.s
+"""
+
+
+# -- Betweenness (exact Brandes) ------------------------------------------
+BC_MAX_DEPTH = 8  # mod-graph diameter is ~3; 8 = headroom, cost is linear
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.betweenness import betweenness
+
+    g = _graph_mod(spark, sf_dir)
+    out = betweenness(g)
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.round("score", 5).alias("score"))
+
+
+def sql_betweenness() -> str:
+    D = BC_MAX_DEPTH
+    ctes = [
+        _mod_header(),
+        f"""reach(s, v, d) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION
+  SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.v
+  WHERE r.d < {D})""",
+        "dist AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM reach "
+        "GROUP BY s, v)",
+        "sig0 AS (SELECT id AS s, id AS v, CAST(1 AS DOUBLE) AS cnt "
+        "FROM nodes)",
+    ]
+    for k in range(1, D + 1):
+        ctes.append(
+            f"sig{k} AS (SELECT p.s, e.dst AS v, SUM(p.cnt) AS cnt "
+            f"FROM sig{k - 1} p JOIN edges e ON e.src = p.v "
+            f"JOIN dist dd ON dd.s = p.s AND dd.v = e.dst AND dd.d = {k} "
+            f"GROUP BY p.s, e.dst)"
+        )
+    ctes.append(
+        "sigma AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT s, v, cnt, {k} AS d FROM sig{k}" for k in range(D + 1)
+        )
+        + ")"
+    )
+    # backward dependency accumulation: delta at depth k from depth k+1
+    ctes.append(
+        f"delta{D} AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta "
+        f"FROM sigma WHERE d = {D})"
+    )
+    for k in range(D - 1, -1, -1):
+        ctes.append(
+            f"""delta{k} AS (
+  SELECT sv.s, sv.v,
+         COALESCE(SUM(sv.cnt / sw.cnt * (1 + dw.delta)), 0) AS delta
+  FROM sigma sv
+  LEFT JOIN edges e ON e.src = sv.v
+  LEFT JOIN sigma sw ON sw.s = sv.s AND sw.v = e.dst AND sw.d = {k + 1}
+  LEFT JOIN delta{k + 1} dw ON dw.s = sv.s AND dw.v = e.dst
+  WHERE sv.d = {k} AND (sw.v IS NULL OR dw.v IS NOT NULL)
+  GROUP BY sv.s, sv.v)"""
+        )
+    ctes.append(
+        "alldelta AS ("
+        + " UNION ALL ".join(
+            f"SELECT s, v, delta FROM delta{k}" for k in range(D + 1)
+        )
+        + ")"
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + """
+SELECT n.id, ROUND(COALESCE(b.score, 0), 5) AS score
+FROM nodes n LEFT JOIN (
+  SELECT v AS id, SUM(delta) AS score FROM alldelta WHERE s != v GROUP BY v
+) b ON b.id = n.id
+"""
+    )
+
+
+# -- HITS ------------------------------------------------------------------
+HITS_ITERS = 4
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hits import hits
+
+    g = _graph_mod(spark, sf_dir)
+    out = hits(g, max_iterations=HITS_ITERS, tolerance=0.0).scores
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def sql_hits() -> str:
+    # mirrors operators/hits.py exactly: per iteration
+    #   auth_raw = sum_in(hub);  auth = auth_raw / ||auth_raw||_2
+    #   hub_raw  = sum_out(auth); hub = hub_raw / ||hub_raw||_2
+    ctes = [
+        _mod_header(),
+        "s0 AS (SELECT id, CAST(1 AS DOUBLE) AS hub, CAST(1 AS DOUBLE) "
+        "AS auth FROM nodes)",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        p = f"s{k - 1}"
+        ctes.append(
+            f"araw{k} AS MATERIALIZED (SELECT n.id, COALESCE(m.v, 0) AS v FROM nodes n "
+            f"LEFT JOIN (SELECT e.dst AS id, SUM(p.hub) AS v FROM edges e "
+            f"JOIN {p} p ON p.id = e.src GROUP BY e.dst) m ON m.id = n.id)"
+        )
+        ctes.append(
+            f"anrm{k} AS (SELECT CASE WHEN SUM(v*v) = 0 THEN 1 "
+            f"ELSE sqrt(SUM(v*v)) END AS z FROM araw{k})"
+        )
+        ctes.append(
+            f"hraw{k} AS MATERIALIZED (SELECT n.id, COALESCE(m.v, 0) AS v FROM nodes n "
+            f"LEFT JOIN (SELECT e.src AS id, "
+            f"SUM(a.v / (SELECT z FROM anrm{k})) AS v "
+            f"FROM edges e JOIN araw{k} a ON a.id = e.dst GROUP BY e.src) m "
+            f"ON m.id = n.id)"
+        )
+        ctes.append(
+            f"hnrm{k} AS (SELECT CASE WHEN SUM(v*v) = 0 THEN 1 "
+            f"ELSE sqrt(SUM(v*v)) END AS z FROM hraw{k})"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT h.id, h.v / (SELECT z FROM hnrm{k}) AS hub, "
+            f"a.v / (SELECT z FROM anrm{k}) AS auth "
+            f"FROM hraw{k} h JOIN araw{k} a ON a.id = h.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth "
+        f"FROM s{HITS_ITERS}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-hop DAG: customer -> order -> supplier (shortest-path family)
+# ---------------------------------------------------------------------------
+CUST_OFFSET = 20_000_000
+ORDER_OFFSET = 30_000_000
+
+SQL_DAG_EDGES = f"""
+SELECT o_custkey + {CUST_OFFSET} AS src, o_orderkey + {ORDER_OFFSET} AS dst,
+       1.0 + (o_orderkey % 97) / 10.0 AS weight
+FROM orders
+UNION ALL
+SELECT DISTINCT l_orderkey + {ORDER_OFFSET} AS src, l_suppkey AS dst,
+       1.0 + (l_suppkey % 53) / 10.0 AS weight
+FROM lineitem
+"""
+
+
+def edges_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    e1 = orders.select(
+        (F.col("o_custkey") + CUST_OFFSET).alias("src"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst"),
+        (1.0 + F.pmod(F.col("o_orderkey"), F.lit(97)) / 10.0).alias(
+            "weight"
+        ),
+    )
+    e2 = (
+        li.select(
+            (F.col("l_orderkey") + ORDER_OFFSET).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (1.0 + F.pmod(F.col("dst"), F.lit(53)) / 10.0).alias("weight"),
+        )
+    )
+    return e1.unionByName(e2)
+
+
+def _graph_dag(spark: SparkSession, sf_dir: str):
+    return from_edge_df(edges_dag(spark, sf_dir), weight="weight")
+
+
+def _path_to_original(paths: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Map node_ids (internal) to an original-id '->' string column."""
+    m = vertices.select(
+        F.col("internal_id").alias("__pid"),
+        F.col("original_id").cast("long").alias("__oid"),
+    )
+    ex = paths.select(
+        "target_node",
+        "total_cost",
+        F.posexplode("node_ids").alias("pos", "__pid"),
+    ).join(m, "__pid")
+    return (
+        ex.groupBy("target_node", "total_cost")
+        .agg(
+            F.concat_ws(
+                "->",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "__oid"))
+                    ),
+                    lambda s: s["__oid"].cast("string"),
+                ),
+            ).alias("path")
+        )
+    )
+
+
+def q_dijkstra_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.paths import dijkstra_path
+
+    g = _graph_dag(spark, sf_dir)
+    src_orig = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.min("o_custkey"))
+        .collect()[0][0]
+        + CUST_OFFSET
+    )
+    src = (
+        g.vertices.filter(F.col("original_id").cast("long") == src_orig)
+        .collect()[0]["internal_id"]
+    )
+    paths = dijkstra_path(g, int(src))
+    out = _path_to_original(paths, g.vertices)
+    tgt = _to_original(
+        out.withColumnRenamed("target_node", "t"), g.vertices, "t", "target"
+    )
+    return tgt.select(
+        "target", F.round("total_cost", 6).alias("total_cost"), "path"
+    )
+
+
+def sql_dijkstra_path() -> str:
+    # source = min customer; targets = the source itself (trivial path),
+    # every order of it (1 hop) and every reachable supplier (2 hops, min
+    # total cost, tie -> smallest order id which is also the smallest
+    # internal predecessor under the order-isomorphic id map). Ids keep
+    # their offsets — they ARE the original ids of the DAG graph.
+    return f"""
+WITH dag AS MATERIALIZED ({SQL_DAG_EDGES}),
+c0 AS (SELECT MIN(src) AS s FROM dag WHERE src >= {CUST_OFFSET}),
+hop1 AS (SELECT d.dst AS o, d.weight AS w1 FROM dag d, c0
+         WHERE d.src = c0.s),
+t0 AS (SELECT s AS target, CAST(0 AS DOUBLE) AS cost, s::VARCHAR AS path
+       FROM c0),
+-- order targets
+t1 AS (SELECT o AS target, w1 AS cost,
+       (SELECT s FROM c0)::VARCHAR || '->' || o::VARCHAR AS path FROM hop1),
+-- supplier targets: min total cost, then smallest intermediate order
+hop2 AS (SELECT h.o, h.w1, d.dst AS sup, h.w1 + d.weight AS cost
+         FROM hop1 h JOIN dag d ON d.src = h.o),
+best AS (SELECT sup, MIN(cost) AS cost FROM hop2 GROUP BY sup),
+pick AS (SELECT h.sup AS target, b.cost, MIN(h.o) AS via
+         FROM hop2 h JOIN best b ON b.sup = h.sup AND h.cost = b.cost
+         GROUP BY h.sup, b.cost),
+t2 AS (SELECT target, cost,
+       (SELECT s FROM c0)::VARCHAR || '->' || via::VARCHAR || '->' ||
+       target::VARCHAR AS path FROM pick),
+allt AS (SELECT * FROM t0 UNION ALL SELECT * FROM t1
+         UNION ALL SELECT * FROM t2)
+SELECT target, ROUND(cost, 6) AS total_cost, path FROM allt
+"""
+
+
+
+def _dag_src_tgt(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(source, target) original ids for the 2-hop DAG oracles: source =
+    min customer; target = min supplier reachable from it (a global-min
+    supplier may not appear in the source's orders)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c0 = int(orders.agg(F.min("o_custkey")).collect()[0][0])
+    li = _lineitem(spark, sf_dir)
+    tgt = int(
+        orders.filter(F.col("o_custkey") == c0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .join(li.select("l_orderkey", "l_suppkey"), "l_orderkey")
+        .agg(F.min("l_suppkey"))
+        .collect()[0][0]
+    )
+    return c0 + CUST_OFFSET, tgt
+
+
+YENS_K = 3
+
+
+def q_yens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.paths import yens_k_shortest
+
+    g = _graph_dag(spark, sf_dir)
+    src_orig, tgt_orig = _dag_src_tgt(spark, sf_dir)
+    vmap = {
+        int(r["original_id"]): r["internal_id"]
+        for r in g.vertices.filter(
+            F.col("original_id").cast("long").isin([src_orig, int(tgt_orig)])
+        ).collect()
+    }
+    paths = yens_k_shortest(
+        g, int(vmap[src_orig]), int(vmap[int(tgt_orig)]), YENS_K
+    )
+    out = _path_to_original(
+        paths.withColumnRenamed("index", "idx"), g.vertices
+    )
+    # recover index by cost order (deterministic: cost then path string)
+    from pyspark.sql.window import Window
+
+    return out.select(
+        F.round("total_cost", 6).alias("total_cost"), "path"
+    ).withColumn(
+        "index",
+        F.row_number().over(Window.orderBy("total_cost", "path")) - 1,
+    ).select("index", "total_cost", "path")
+
+
+def sql_yens() -> str:
+    # all loopless c0->target paths in the 2-hop DAG are c0 -> o -> target:
+    # the K shortest = top-K orders by (w1 + w2), tie -> smaller order id
+    return f"""
+WITH dag AS MATERIALIZED ({SQL_DAG_EDGES}),
+c0 AS (SELECT MIN(src) AS s FROM dag WHERE src >= {CUST_OFFSET}),
+t0 AS (SELECT MIN(d2.dst) AS t FROM dag d1 JOIN dag d2 ON d2.src = d1.dst, c0 WHERE d1.src = c0.s AND d2.dst < {CUST_OFFSET}),
+cand AS (
+  SELECT d1.dst AS o, d1.weight + d2.weight AS cost
+  FROM dag d1 JOIN dag d2 ON d2.src = d1.dst, c0, t0
+  WHERE d1.src = c0.s AND d2.dst = t0.t),
+ranked AS (
+  SELECT cost, o, ROW_NUMBER() OVER (ORDER BY cost, o) AS rn FROM cand)
+SELECT rn - 1 AS index, ROUND(cost, 6) AS total_cost,
+       (SELECT s FROM c0)::VARCHAR || '->' || o::VARCHAR || '->' ||
+       (SELECT t FROM t0)::VARCHAR AS path
+FROM ranked WHERE rn <= {YENS_K}
+ORDER BY rn
+"""
+
+
+def q_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.paths import astar_path
+
+    g = _graph_dag(spark, sf_dir)
+    src_orig, tgt_orig = _dag_src_tgt(spark, sf_dir)
+    vmap = {
+        int(r["original_id"]): r["internal_id"]
+        for r in g.vertices.filter(
+            F.col("original_id").cast("long").isin([src_orig, tgt_orig])
+        ).collect()
+    }
+    # admissible arithmetic heuristic: 0 for the target, 1 elsewhere —
+    # every remaining path costs >= 1 (all weights >= 1)
+    h = g.vertices.select(
+        "internal_id",
+        F.when(
+            F.col("internal_id") == int(vmap[tgt_orig]), F.lit(0.0)
+        ).otherwise(F.lit(1.0)).alias("h"),
+    )
+    paths = astar_path(g, int(vmap[src_orig]), int(vmap[tgt_orig]), h)
+    out = _path_to_original(paths, g.vertices)
+    return out.select(
+        F.round("total_cost", 6).alias("total_cost"), "path"
+    )
+
+
+def sql_astar() -> str:
+    return f"""
+WITH dag AS MATERIALIZED ({SQL_DAG_EDGES}),
+c0 AS (SELECT MIN(src) AS s FROM dag WHERE src >= {CUST_OFFSET}),
+t0 AS (SELECT MIN(d2.dst) AS t FROM dag d1 JOIN dag d2 ON d2.src = d1.dst, c0 WHERE d1.src = c0.s AND d2.dst < {CUST_OFFSET}),
+cand AS (
+  SELECT d1.dst AS o, d1.weight + d2.weight AS cost
+  FROM dag d1 JOIN dag d2 ON d2.src = d1.dst, c0, t0
+  WHERE d1.src = c0.s AND d2.dst = t0.t)
+SELECT ROUND(MIN(cost), 6) AS total_cost,
+       (SELECT s FROM c0)::VARCHAR || '->' ||
+       (SELECT MIN(o) FROM cand WHERE cost = (SELECT MIN(cost) FROM cand))
+       ::VARCHAR || '->' || (SELECT t FROM t0)::VARCHAR AS path
+FROM cand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Modularity metric, scalers, one-hot, similarity fns, split, wcc variants,
+# pagerank variants, triangle stream, balanced triads
+# ---------------------------------------------------------------------------
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.louvain import _sym_edges, modularity
+    from .operators.wcc import wcc
+
+    g = _graph_sp(spark, sf_dir)
+    comp = wcc(g).select(
+        "internal_id", F.col("component").alias("community")
+    )
+    q = modularity(_sym_edges(g), comp)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def sql_modularity() -> str:
+    return f"""
+WITH base AS MATERIALIZED ({sql_wcc()}),
+edges AS MATERIALIZED ({SQL_EDGES_SP}),
+idmap AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS iid FROM
+          (SELECT DISTINCT id FROM base)),
+comp AS (SELECT m.iid AS v, cm.iid AS c FROM base b
+         JOIN idmap m ON m.id = b.id JOIN idmap cm ON cm.id = b.component),
+iedges AS (SELECT ms.iid AS src, md.iid AS dst, e.weight FROM edges e
+           JOIN idmap ms ON ms.id = e.src JOIN idmap md ON md.id = e.dst),
+sym AS MATERIALIZED (
+  SELECT src, dst, SUM(weight) AS w FROM (
+    SELECT src, dst, weight FROM iedges
+    UNION ALL SELECT dst, src, weight FROM iedges) GROUP BY src, dst),
+m2 AS (SELECT SUM(w) AS m FROM sym),
+inside AS (SELECT COALESCE(SUM(s.w), 0) AS i FROM sym s
+           JOIN comp a ON a.v = s.src JOIN comp b ON b.v = s.dst
+           WHERE a.c = b.c),
+deg AS (SELECT src, SUM(w) AS d FROM sym GROUP BY src),
+tot AS (SELECT SUM(t * t) AS t2 FROM (
+  SELECT SUM(d.d) AS t FROM deg d JOIN comp c ON c.v = d.src GROUP BY c.c))
+SELECT ROUND((SELECT i FROM inside) / (SELECT m FROM m2)
+       - (SELECT t2 FROM tot) / ((SELECT m FROM m2) * (SELECT m FROM m2)),
+       6) AS modularity
+"""
+
+
+def q_scale_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scaling import scale_column
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_acctbal").cast("double").alias("x"),
+    )
+    out = sup
+    for v in ("MAX", "MINMAX", "MEAN", "STDSCORE", "L1NORM", "L2NORM"):
+        out = out.withColumn(v.lower(), F.col("x"))
+        out = scale_column(out, v.lower(), v)
+    return out.select(
+        "id",
+        *[F.round(v.lower(), 6).alias(v.lower())
+          for v in ("MAX", "MINMAX", "MEAN", "STDSCORE", "L1NORM", "L2NORM")],
+    )
+
+
+def sql_scale_properties() -> str:
+    return """
+WITH s AS (SELECT s_suppkey AS id, CAST(s_acctbal AS DOUBLE) AS x
+           FROM supplier),
+st AS (SELECT MAX(ABS(x)) AS absmax, MIN(x) AS mn, MAX(x) AS mx,
+              AVG(x) AS mean, stddev_pop(x) AS sd, SUM(ABS(x)) AS l1,
+              sqrt(SUM(x*x)) AS l2 FROM s)
+SELECT id,
+  ROUND(CASE WHEN st.absmax = 0 THEN 0 ELSE x / st.absmax END, 6) AS max,
+  ROUND(CASE WHEN st.mx - st.mn = 0 THEN 0
+        ELSE (x - st.mn) / (st.mx - st.mn) END, 6) AS minmax,
+  ROUND(CASE WHEN st.mx - st.mn = 0 THEN 0
+        ELSE (x - st.mean) / (st.mx - st.mn) END, 6) AS mean,
+  ROUND(CASE WHEN st.sd = 0 THEN 0 ELSE (x - st.mean) / st.sd END, 6)
+    AS stdscore,
+  ROUND(CASE WHEN st.l1 = 0 THEN 0 ELSE x / st.l1 END, 6) AS l1norm,
+  ROUND(CASE WHEN st.l2 = 0 THEN 0 ELSE x / st.l2 END, 6) AS l2norm
+FROM s, st
+"""
+
+
+def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mlops import one_hot_encoding
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("cat")
+    )
+    enc = one_hot_encoding(nation, "cat")
+    return enc.select(
+        "id", F.posexplode("cat_onehot").alias("pos", "bit")
+    ).select("id", "pos", F.col("bit").cast("long").alias("bit"))
+
+
+def sql_one_hot() -> str:
+    return """
+WITH n AS (SELECT n_nationkey AS id, n_name AS cat FROM nation),
+cats AS (SELECT cat, ROW_NUMBER() OVER (ORDER BY cat) - 1 AS pos
+         FROM (SELECT DISTINCT cat FROM n))
+SELECT n.id, c.pos,
+       CASE WHEN n.cat = c.cat THEN 1 ELSE 0 END::BIGINT AS bit
+FROM n CROSS JOIN cats c
+"""
+
+
+SIM_MAX_ID = 20
+
+
+def q_similarity_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import cosine, euclidean, euclidean_distance, pearson
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < SIM_MAX_ID)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return pairs.select(
+        "a",
+        "b",
+        F.round(cosine("va", "vb"), 6).alias("cosine"),
+        F.round(euclidean_distance("va", "vb"), 6).alias("euclidean_distance"),
+        F.round(euclidean("va", "vb"), 6).alias("euclidean"),
+        F.round(pearson("va", "vb"), 6).alias("pearson"),
+    )
+
+
+def sql_similarity_functions() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < {SIM_MAX_ID}),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+m AS (SELECT a, b, va, vb,
+        list_dot_product(va, vb) AS dot,
+        sqrt(list_dot_product(va, va)) AS na,
+        sqrt(list_dot_product(vb, vb)) AS nb,
+        list_sum(va) / len(va) AS ma,
+        list_sum(vb) / len(vb) AS mb,
+        sqrt(list_sum(list_transform(
+          list_zip(va, vb), x -> (x[1] - x[2]) * (x[1] - x[2])))) AS ed
+      FROM p)
+SELECT a, b,
+  ROUND(dot / (na * nb), 6) AS cosine,
+  ROUND(ed, 6) AS euclidean_distance,
+  ROUND(1.0 / (1.0 + ed), 6) AS euclidean,
+  ROUND(
+    list_sum(list_transform(list_zip(va, vb),
+                            x -> (x[1] - ma) * (x[2] - mb))) /
+    (sqrt(list_sum(list_transform(va, x -> (x - ma) * (x - ma)))) *
+     sqrt(list_sum(list_transform(vb, x -> (x - mb) * (x - mb))))), 6)
+    AS pearson
+FROM m
+"""
+
+
+SPLIT_FRACTION = 0.3
+SPLIT_SEED = 42
+
+
+def q_split_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mlops import split_relationships
+
+    g = _graph_sp(spark, sf_dir)
+    _remaining, test = split_relationships(
+        g,
+        holdout_fraction=SPLIT_FRACTION,
+        negative_sampling_ratio=1.0,
+        seed=SPLIT_SEED,
+    )
+    out = _to_original(test, g.vertices, "src", "src_id")
+    out = _to_original(out, g.vertices, "dst", "dst_id")
+    return out.select(
+        "src_id", "dst_id", F.col("label").cast("long").alias("label")
+    )
+
+
+def sql_split_relationships() -> str:
+    mod = 1_000_003
+    cut = int(SPLIT_FRACTION * mod)
+    s = SPLIT_SEED
+    return f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_SP}),
+idmap AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS iid FROM (
+    SELECT src AS id FROM edges UNION SELECT dst FROM edges)),
+n AS (SELECT COUNT(*) AS n FROM idmap),
+ie AS MATERIALIZED (
+  SELECT ms.iid AS src, md.iid AS dst, e.src AS osrc, e.dst AS odst
+  FROM edges e JOIN idmap ms ON ms.id = e.src
+               JOIN idmap md ON md.id = e.dst),
+pos AS (SELECT osrc AS src_id, odst AS dst_id FROM ie
+        WHERE (src * 2654435761 + dst * 40503 + {s * 97}) % {mod} < {cut}),
+npos AS (SELECT COUNT(*) AS k FROM pos),
+cand AS (
+  SELECT DISTINCT
+    (i * 1103515245 + {12345 + s}) % (SELECT n FROM n) AS src,
+    (i * 69069 + {1 + s}) % (SELECT n FROM n) AS dst
+  FROM range(0, 5000000) t(i)
+  WHERE i < (SELECT CAST(k * 2.5 AS BIGINT) + 8 FROM npos)),
+neg0 AS (
+  SELECT c.src, c.dst FROM cand c
+  WHERE c.src != c.dst AND NOT EXISTS (
+    SELECT 1 FROM ie WHERE ie.src = c.src AND ie.dst = c.dst)),
+neg AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (ORDER BY
+      (src * 2654435761 + dst * 40503 + {(s + 1) * 97}) % {mod}, src, dst)
+      AS rn FROM neg0)
+  WHERE rn <= (SELECT k FROM npos))
+SELECT src_id, dst_id, 1::BIGINT AS label FROM pos
+UNION ALL
+SELECT ms.id AS src_id, md.id AS dst_id, 0::BIGINT AS label FROM neg
+JOIN idmap ms ON ms.iid = neg.src JOIN idmap md ON md.iid = neg.dst
+"""
+
+
+WCC_THRESHOLD = 2.0
+
+
+def q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.wcc import wcc
+
+    g = _graph_sp(spark, sf_dir)
+    comp = wcc(g, threshold=WCC_THRESHOLD)
+    comp = _to_original(comp, g.vertices, "internal_id", "id")
+    return _to_original(comp, g.vertices, "component", "component").select(
+        "id", "component"
+    )
+
+
+def sql_wcc_threshold() -> str:
+    return f"""
+WITH RECURSIVE
+edges AS MATERIALIZED ({SQL_EDGES_SP}),
+nodes AS ({SQL_NODES_SP}),
+fe AS (SELECT src, dst FROM edges WHERE weight > {WCC_THRESHOLD}),
+sym AS (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+"""
+
+
+PPR_ITERS = 6
+PPR_SOURCES = 3  # the 3 smallest supplier ids
+
+
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagerank import pagerank
+
+    g = _graph_pr(spark, sf_dir)
+    srcs = [
+        int(r["original_id"])
+        for r in g.vertices.orderBy("internal_id").limit(PPR_SOURCES).collect()
+    ]
+    out = pagerank(
+        g,
+        damping=0.85,
+        tolerance=0.0,
+        max_iterations=PPR_ITERS + 1,
+        source_nodes=srcs,
+    ).scores
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def sql_pagerank_personalized() -> str:
+    from .driver_contract import SQL_EDGES_PR
+
+    ctes = [
+        f"edges AS MATERIALIZED ({SQL_EDGES_PR})",
+        f"nodes AS MATERIALIZED ({SQL_NODES_SP})",
+        f"srcs AS (SELECT id FROM nodes ORDER BY id LIMIT {PPR_SOURCES})",
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg "
+        "FROM edges GROUP BY src)",
+        "r0 AS (SELECT n.id, CASE WHEN n.id IN (SELECT id FROM srcs) "
+        "THEN CAST(0.15 AS DOUBLE) ELSE 0 END AS rank, "
+        "CASE WHEN n.id IN (SELECT id FROM srcs) THEN CAST(0.15 AS DOUBLE) "
+        "ELSE 0 END AS delta FROM nodes n)",
+    ]
+    for k in range(1, PPR_ITERS + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.id, p.rank + 0.85 * COALESCE(m.s, 0) AS rank, "
+            f"0.85 * COALESCE(m.s, 0) AS delta "
+            f"FROM nodes n JOIN r{k - 1} p ON p.id = n.id LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.delta / d.deg) AS s "
+            f"FROM edges e JOIN r{k - 1} r ON r.id = e.src "
+            f"JOIN deg d ON d.id = e.src GROUP BY e.dst) m ON m.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS score FROM r{PPR_ITERS}"
+    )
+
+
+PRW_ITERS = 6
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagerank import pagerank
+
+    # weighted symmetrized co-supplier graph: weight = number of shared
+    # parts for the pair
+    li = _lineitem(spark, sf_dir).select("l_suppkey", "l_partkey").distinct()
+    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
+    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
+    canon = (
+        a.join(b, "pk")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    sym = canon.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "weight"
+    ).unionByName(
+        canon.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "weight"
+        )
+    )
+    g = from_edge_df(sym, weight="weight")
+    out = pagerank(
+        g,
+        damping=0.85,
+        tolerance=0.0,
+        max_iterations=PRW_ITERS + 1,
+        weighted=True,
+    ).scores
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def sql_pagerank_weighted() -> str:
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_suppkey, l_partkey "
+        "FROM lineitem)",
+        "canon AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b, "
+        "CAST(COUNT(*) AS DOUBLE) AS w FROM li a "
+        "JOIN li b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey "
+        "GROUP BY 1, 2)",
+        "edges AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM canon "
+        "UNION ALL SELECT b, a, w FROM canon)",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src AS id, SUM(CASE WHEN w > 0 THEN w ELSE 0 END) "
+        "AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank, "
+        "CAST(0.15 AS DOUBLE) AS delta FROM nodes)",
+    ]
+    for k in range(1, PRW_ITERS + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.id, p.rank + 0.85 * COALESCE(m.s, 0) AS rank, "
+            f"0.85 * COALESCE(m.s, 0) AS delta "
+            f"FROM nodes n JOIN r{k - 1} p ON p.id = n.id LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.delta / d.deg * e.w) AS s "
+            f"FROM edges e JOIN r{k - 1} r ON r.id = e.src "
+            f"JOIN deg d ON d.id = e.src GROUP BY e.dst) m ON m.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS score FROM r{PRW_ITERS}"
+    )
+
+
+def q_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import UNDIRECTED
+    from .operators.triangle import triangles_stream
+
+    e = edges_ss(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    g = from_edge_df(e, orientation=UNDIRECTED)
+    tri = triangles_stream(g)
+    tri = _to_original(tri, g.vertices, "node_a", "node_a")
+    tri = _to_original(tri, g.vertices, "node_b", "node_b")
+    tri = _to_original(tri, g.vertices, "node_c", "node_c")
+    return tri.select("node_a", "node_b", "node_c")
+
+
+def sql_triangle_stream() -> str:
+    return f"""
+WITH canon AS MATERIALIZED ({SQL_EDGES_SS})
+SELECT e1.a AS node_a, e1.b AS node_b, e2.b AS node_c
+FROM canon e1 JOIN canon e2 ON e2.a = e1.b
+JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_balanced_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.triangle import balanced_triads
+
+    e = edges_ss(spark, sf_dir).select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.when(
+            F.pmod(F.col("a") + F.col("b"), F.lit(3)) == 0, F.lit(-1.0)
+        ).otherwise(F.lit(1.0)).alias("weight"),
+    )
+    g = from_edge_df(e, weight="weight")
+    out = balanced_triads(g)
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select("id", "balanced", "unbalanced")
+
+
+def sql_balanced_triads() -> str:
+    return f"""
+WITH canon AS MATERIALIZED (
+  SELECT a, b, CASE WHEN (a + b) % 3 = 0 THEN FALSE ELSE TRUE END AS pos
+  FROM ({SQL_EDGES_SS})),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+         (CAST(e1.pos AS INT) + CAST(e2.pos AS INT) + CAST(e3.pos AS INT))
+           % 2 = 1 AS balanced
+  FROM canon e1 JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS id, balanced FROM tri
+  UNION ALL SELECT y, balanced FROM tri
+  UNION ALL SELECT z, balanced FROM tri),
+nodes AS (SELECT a AS id FROM canon UNION SELECT b FROM canon)
+SELECT n.id,
+  COALESCE(SUM(CASE WHEN c.balanced THEN 1 ELSE 0 END), 0)::BIGINT
+    AS balanced,
+  COALESCE(SUM(CASE WHEN c.balanced THEN 0 ELSE 1 END), 0)::BIGINT
+    AS unbalanced
+FROM nodes n LEFT JOIN corners c ON c.id = n.id
+GROUP BY n.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (engine-specific hashing / seeded numpy / schedule-
+# dependent — the driver records a rows+schema check; pytest covers values)
+# ---------------------------------------------------------------------------
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.louvain import louvain
+
+    g = _graph_sp(spark, sf_dir)
+    res = louvain(g)
+    out = _to_original(res.assignment, g.vertices, "internal_id", "id")
+    return _to_original(out, g.vertices, "community", "community").select(
+        "id", "community"
+    )
+
+
+def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import UNDIRECTED
+    from .operators.k1coloring import k1coloring
+
+    e = edges_mod(spark, sf_dir)
+    g = from_edge_df(e, orientation=UNDIRECTED)
+    colors, _ran, _conv = k1coloring(g)
+    out = _to_original(colors, g.vertices, "internal_id", "id")
+    return out.select("id", "color")
+
+
+def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fastrp import fastrp
+
+    g = _graph_sp(spark, sf_dir)
+    emb = fastrp(g, embedding_dim=16, iteration_weights=(1.0, 1.0))
+    return _to_original(emb, g.vertices, "internal_id", "id").select(
+        "id", F.size("embedding").alias("dim")
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("internal_id"),
+        F.col("embedding").alias("vec"),
+    )
+    from .graph import Graph
+
+    g = Graph(emb, spark.createDataFrame([], "src long, dst long"))
+    return knn(g, "vec", top_k=3)
+
+
+def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mlops import random_walks
+
+    g = _graph_mod(spark, sf_dir)
+    return random_walks(g, walks_per_node=2, walk_length=4).select(
+        "walk_id", "start", F.size("path").alias("path_len")
+    )
+
+
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mlops import node2vec
+
+    g = _graph_mod(spark, sf_dir)
+    emb = node2vec(
+        g, embedding_dimension=16, walks_per_node=2, walk_length=6,
+        iterations=1,
+    )
+    return _to_original(emb, g.vertices, "internal_id", "id").select(
+        "id", F.size("embedding").alias("dim")
+    )
+
+
+def q_spanning_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spanningtree import spanning_tree
+
+    # distinct weights -> unique MST; report total weight + edge count
+    li = _lineitem(spark, sf_dir).select("l_suppkey", "l_partkey").distinct()
+    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
+    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
+    canon = (
+        a.join(b, "pk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            (F.col("a") * 1000 + F.col("b")).cast("double").alias("weight"),
+        )
+    )
+    g = from_edge_df(canon, weight="weight")
+    tree = spanning_tree(g)
+    return tree.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.sum("weight"), 6).alias("total_weight"),
+    )
+
+
+def q_influence_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.influence import influence_maximization
+
+    g = _graph_mod(spark, sf_dir)
+    res = influence_maximization(
+        g, 3, propagation_probability=0.2, monte_carlo_simulations=32
+    )
+    rows = [
+        (i, s, round(gain, 6))
+        for i, (s, gain) in enumerate(zip(res.seeds, res.gains))
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, seed long, gain double"
+    )
+
+
+def ext_queries() -> dict:
+    return {
+        "bfs": q_bfs,
+        "scc": q_scc,
+        "betweenness": q_betweenness,
+        "hits": q_hits,
+        "dijkstra_path": q_dijkstra_path,
+        "yens_k_shortest": q_yens,
+        "astar": q_astar,
+        "modularity_metric": q_modularity,
+        "scale_properties": q_scale_properties,
+        "one_hot_encoding": q_one_hot,
+        "similarity_functions": q_similarity_functions,
+        "split_relationships": q_split_relationships,
+        "wcc_threshold": q_wcc_threshold,
+        "pagerank_personalized": q_pagerank_personalized,
+        "pagerank_weighted": q_pagerank_weighted,
+        "triangle_stream": q_triangle_stream,
+        "balanced_triads": q_balanced_triads,
+        # rows-only (no oracle: engine-specific hash / seeded numpy /
+        # schedule-dependent result)
+        "louvain": q_louvain,
+        "k1coloring": q_k1coloring,
+        "fastrp": q_fastrp,
+        "knn": q_knn,
+        "random_walk": q_random_walk,
+        "node2vec": q_node2vec,
+        "spanning_tree": q_spanning_tree,
+        "influence_celf": q_influence_celf,
+    }
+
+
+def ext_oracle_sql() -> dict:
+    return {
+        "bfs": sql_bfs(),
+        "scc": sql_scc(),
+        "betweenness": sql_betweenness(),
+        "hits": sql_hits(),
+        "dijkstra_path": sql_dijkstra_path(),
+        "yens_k_shortest": sql_yens(),
+        "astar": sql_astar(),
+        "modularity_metric": sql_modularity(),
+        "scale_properties": sql_scale_properties(),
+        "one_hot_encoding": sql_one_hot(),
+        "similarity_functions": sql_similarity_functions(),
+        "split_relationships": sql_split_relationships(),
+        "wcc_threshold": sql_wcc_threshold(),
+        "pagerank_personalized": sql_pagerank_personalized(),
+        "pagerank_weighted": sql_pagerank_weighted(),
+        "triangle_stream": sql_triangle_stream(),
+        "balanced_triads": sql_balanced_triads(),
+    }

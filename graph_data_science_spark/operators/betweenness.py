@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import loop_checkpoint
 
 
 def betweenness(
@@ -76,12 +77,12 @@ def betweenness(
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited.select("s", "v"), ["s", "v"], "left_anti")
             .select("s", "v", F.lit(depth).alias("dist"), "sigma")
-            .localCheckpoint(eager=True)
         )
+        nxt = loop_checkpoint(nxt, depth)
         if nxt.isEmpty():
             depth -= 1
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = loop_checkpoint(visited.unionByName(nxt), depth)
         frontier = nxt
 
     # ---- backward: delta accumulation level by level -------------------
@@ -119,8 +120,8 @@ def betweenness(
                     "delta"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        state = loop_checkpoint(state, depth - h + 1)
 
     bc = (
         state.filter(F.col("v") != F.col("s"))

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import loop_checkpoint
 
 
 @dataclass
@@ -77,7 +78,8 @@ def hits(
                 F.abs(F.col("hub_raw") / F.lit(h_norm) - F.col("hub")),
                 F.abs(F.col("auth_next") - F.col("auth")),
             ).alias("delta"),
-        ).localCheckpoint(eager=True)
+        )
+        nxt = loop_checkpoint(nxt, t)
         max_delta = nxt.agg(F.max("delta")).collect()[0][0] or 0.0
         state = nxt.select("internal_id", "hub", "auth")
         if max_delta <= tolerance:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import loop_checkpoint
 
 
 def k1coloring(
@@ -88,13 +89,13 @@ def k1coloring(
         recolored = forb.select(
             F.col("src").alias("internal_id"), first_free.alias("new_color")
         )
-        colors = (
+        colors = loop_checkpoint(
             colors.join(recolored, "internal_id", "left")
             .select(
                 "internal_id",
                 F.coalesce("new_color", "color").alias("color"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            t,
         )
 
     return colors, ran, converged

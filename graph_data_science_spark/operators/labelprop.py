@@ -81,7 +81,9 @@ def label_propagation(
     node_w = node_w.localCheckpoint(eager=False)
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
+    from ..plans.checkpoint import loop_checkpoint
+
+    for _it in range(max_iterations):
         nbr = (
             labels.withColumnRenamed("internal_id", "dst")
             .withColumnRenamed("label", "nbr_label")
@@ -106,7 +108,7 @@ def label_propagation(
             F.col("label").alias("old_label"),
             F.coalesce("new_label", "label").alias("label"),
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = loop_checkpoint(nxt, _it + 1)
         changed = nxt.filter(F.col("label") != F.col("old_label")).count()
         labels = nxt.select("internal_id", "label")
         if changed == 0:

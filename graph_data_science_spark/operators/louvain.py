@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import loop_checkpoint
 
 
 def _sym_edges(graph: Graph) -> DataFrame:
@@ -122,6 +123,21 @@ def modularity_optimization(
             .groupBy(F.col("src").alias("internal_id"), F.col("c_dst").alias("c"))
             .agg(F.sum("weight").alias("kic"))
         )
+        # staying put must always be a candidate: a node whose own community
+        # has no intra-community neighbor (true for every node at singleton
+        # init) gets no kic row for it, and without this floor the argmax
+        # can pick a strictly-negative-ΔQ move. kic >= 0, so max() keeps the
+        # real intra-weight when one exists.
+        own_rows = comm.select(
+            "internal_id",
+            F.col("community").alias("c"),
+            F.lit(0.0).alias("kic"),
+        )
+        kic = (
+            kic.unionByName(own_rows)
+            .groupBy("internal_id", "c")
+            .agg(F.max("kic").alias("kic"))
+        )
         ctot = (
             comm.join(deg, "internal_id")
             .groupBy(F.col("community").alias("c"))
@@ -164,9 +180,8 @@ def modularity_optimization(
                 .otherwise(F.col("community"))
                 .alias("community"),
             )
-            .localCheckpoint(eager=True)
         )
-        comm = nxt
+        comm = loop_checkpoint(nxt, t + 1)
         if t % 2 == 1:  # evaluate after each even+odd sweep pair
             q = modularity(sym, comm)
             if q - q_prev < tolerance:
@@ -211,15 +226,15 @@ def louvain(
         n_before = cur.vertices.count()
         n_comm = res.assignment.select("community").distinct().count()
         # compose: node -> current community -> new community
-        mapping = (
+        mapping = loop_checkpoint(
             mapping.join(
                 res.assignment.withColumnRenamed(
                     "community", "new_c"
                 ).withColumnRenamed("internal_id", "community"),
                 "community",
             )
-            .select("internal_id", F.col("new_c").alias("community"))
-            .localCheckpoint(eager=True)
+            .select("internal_id", F.col("new_c").alias("community")),
+            levels,
         )
         if res.modularity - last_q < tolerance or n_comm == n_before:
             last_q = max(res.modularity, last_q)
@@ -237,16 +252,16 @@ def louvain(
             .join(b, "dst")
             .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
             .agg(F.sum("weight").alias("weight"))
-            .localCheckpoint(eager=True)
         )
+        new_edges = loop_checkpoint(new_edges, levels)
         new_vertices = (
             res.assignment.select(
                 F.col("community").alias("internal_id")
             )
             .distinct()
             .select("internal_id", F.col("internal_id").alias("original_id"))
-            .localCheckpoint(eager=True)
         )
+        new_vertices = loop_checkpoint(new_vertices, levels)
         cur = Graph(new_vertices, new_edges)
     return LouvainResult(
         assignment=mapping, modularity=last_q, levels=levels

@@ -44,6 +44,20 @@ def one_hot_encoding(
     return df.withColumn(f"{col}_onehot", arr)
 
 
+_SPLIT_MOD = 1_000_003  # prime modulus of the portable split hash
+
+
+def _split_hash(src, dst, seed: int):
+    """Multiplicative hash in exact int64 arithmetic — identical in any
+    engine (no engine-specific hash), partitioning-independent, and keeps
+    the split reproducible in plain SQL. Operands stay < 2^62 for ids up
+    to ~2^31."""
+    return F.pmod(
+        src * F.lit(2654435761) + dst * F.lit(40503) + F.lit(seed * 97),
+        F.lit(_SPLIT_MOD),
+    )
+
+
 def split_relationships(
     graph: Graph,
     *,
@@ -52,25 +66,40 @@ def split_relationships(
     seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
     """(remaining_edges, test_set) — test rows: (src, dst, label 1/0) with
-    negative samples drawn uniformly from non-edges (hash-filtered, the
-    scalable approximation of rejection sampling)."""
+    negative samples drawn from non-edges.
+
+    Fully deterministic: the holdout membership is a portable arithmetic
+    hash of (src, dst, seed) — NOT ``rand()``, whose draw depends on row
+    partitioning — and negative candidates come from a seeded LCG over
+    [0, n), anti-joined against the edge set and truncated by
+    smallest-hash order. Identical output on any cluster layout, and
+    reproducible by a SQL oracle."""
     e = graph.edges.select("src", "dst")
-    tagged = e.withColumn("__r", F.rand(seed))
-    holdout = tagged.filter(F.col("__r") < holdout_fraction).drop("__r")
-    remaining = tagged.filter(F.col("__r") >= holdout_fraction).drop("__r")
+    cut = int(holdout_fraction * _SPLIT_MOD)
+    h = _split_hash(F.col("src"), F.col("dst"), seed)
+    holdout = e.filter(h < cut)
+    remaining = e.filter(h >= cut)
 
     n_pos = holdout.count()
     n_neg = int(n_pos * negative_sampling_ratio)
     n = graph.node_count()
     cand = (
-        graph.spark.range(int(n_neg * 2.5))
+        graph.spark.range(int(n_neg * 2.5) + 8)
         .select(
-            F.floor(F.rand(seed + 1) * n).cast("long").alias("src"),
-            F.floor(F.rand(seed + 2) * n).cast("long").alias("dst"),
+            F.pmod(
+                F.col("id") * F.lit(1103515245) + F.lit(12345 + seed),
+                F.lit(n),
+            ).alias("src"),
+            F.pmod(
+                F.col("id") * F.lit(69069) + F.lit(1 + seed), F.lit(n)
+            ).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .join(e, ["src", "dst"], "left_anti")
+        .orderBy(
+            _split_hash(F.col("src"), F.col("dst"), seed + 1), "src", "dst"
+        )
         .limit(n_neg)
     )
     test = holdout.withColumn("label", F.lit(1)).unionByName(
@@ -255,3 +284,57 @@ def node2vec_walks(
             F.col("cur").alias("prev"),
         )
     return walks.select("walk_id", "start", "path")
+
+
+def node2vec(
+    graph: Graph,
+    *,
+    embedding_dimension: int = 128,
+    walks_per_node: int = 10,
+    walk_length: int = 80,
+    return_factor: float = 1.0,
+    in_out_factor: float = 1.0,
+    window_size: int = 10,
+    iterations: int = 1,
+    initial_learning_rate: float = 0.025,
+    negative_sampling_rate: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full Node2Vec: biased 2nd-order walks + skip-gram training
+    (ref: algo/.../gds/embeddings/node2vec/Node2Vec.java:31 — walks then
+    Word2Vec-style training with negative sampling; config defaults
+    Node2VecBaseConfig). Training uses Spark MLlib's distributed Word2Vec
+    (hierarchical-softmax skip-gram) over the walk corpus — the JVM-side
+    scalable path; walks and training both shuffle-parallel.
+
+    Returns (internal_id long, embedding array<float>).
+    """
+    from pyspark.ml.feature import Word2Vec
+
+    walks = node2vec_walks(
+        graph,
+        walks_per_node=walks_per_node,
+        walk_length=walk_length,
+        return_factor=return_factor,
+        in_out_factor=in_out_factor,
+        seed=seed,
+    )
+    corpus = walks.select(
+        F.transform(F.col("path"), lambda x: x.cast("string")).alias("sent")
+    )
+    model = Word2Vec(
+        vectorSize=embedding_dimension,
+        windowSize=window_size,
+        maxIter=iterations,
+        stepSize=initial_learning_rate,
+        minCount=0,
+        seed=seed,
+        inputCol="sent",
+        outputCol="vec",
+    ).fit(corpus)
+    from pyspark.ml.functions import vector_to_array
+
+    return model.getVectors().select(
+        F.col("word").cast("long").alias("internal_id"),
+        vector_to_array(F.col("vector"), "float32").alias("embedding"),
+    )

@@ -24,9 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import loop_checkpoint
 
 
-def scc(graph: Graph, *, max_rounds: int = 100) -> DataFrame:
+def scc(graph: Graph, *, max_rounds: int | None = None) -> DataFrame:
+    """``max_rounds=None`` (default) loops until every node is assigned —
+    each round peels at least every root's SCC so the count is naturally
+    bounded by the number of SCCs. Passing a finite ``max_rounds`` raises
+    if nodes remain unassigned when it is exhausted (GDS assigns every
+    node a component; silently returning a partial assignment would be a
+    correctness bug on long dependency chains)."""
     spark = graph.spark
     edges = (
         graph.edges.select("src", "dst")
@@ -37,9 +44,16 @@ def scc(graph: Graph, *, max_rounds: int = 100) -> DataFrame:
     nodes = graph.vertices.select("internal_id").localCheckpoint(eager=True)
     assigned = spark.createDataFrame([], "internal_id long, component long")
 
-    for _ in range(max_rounds):
+    round_no = 0
+    while True:
         if nodes.isEmpty():
             break
+        round_no += 1
+        if max_rounds is not None and round_no > max_rounds:
+            raise RuntimeError(
+                f"scc: max_rounds={max_rounds} exhausted with nodes still "
+                "unassigned; pass max_rounds=None to run to completion"
+            )
         live = nodes
         e = (
             edges.join(
@@ -53,7 +67,9 @@ def scc(graph: Graph, *, max_rounds: int = 100) -> DataFrame:
         colors = live.select(
             "internal_id", F.col("internal_id").alias("color")
         ).localCheckpoint(eager=True)
+        _fwd = 0
         while True:
+            _fwd += 1
             msgs = (
                 e.join(
                     colors.select(
@@ -73,8 +89,8 @@ def scc(graph: Graph, *, max_rounds: int = 100) -> DataFrame:
                         "color", F.coalesce("in_max", "color")
                     ).alias("color"),
                 )
-                .localCheckpoint(eager=True)
             )
+            nxt = loop_checkpoint(nxt, _fwd)
             changed = nxt.filter(F.col("color") != F.col("old")).count()
             colors = nxt.select("internal_id", "color")
             if changed == 0:
@@ -88,7 +104,9 @@ def scc(graph: Graph, *, max_rounds: int = 100) -> DataFrame:
         rev = e.select(
             F.col("dst").alias("from_"), F.col("src").alias("to_")
         )
+        _bwd = 0
         while True:
+            _bwd += 1
             step = (
                 rev.join(
                     frontier.select(
@@ -106,17 +124,23 @@ def scc(graph: Graph, *, max_rounds: int = 100) -> DataFrame:
                 .join(
                     in_scc.select("internal_id"), "internal_id", "left_anti"
                 )
-                .localCheckpoint(eager=True)
             )
+            step = loop_checkpoint(step, _bwd)
             if step.isEmpty():
                 break
-            in_scc = in_scc.unionByName(step).localCheckpoint(eager=True)
+            in_scc = loop_checkpoint(in_scc.unionByName(step), _bwd)
             frontier = step
-        assigned = assigned.unionByName(
-            in_scc.select("internal_id", F.col("color").alias("component"))
-        ).localCheckpoint(eager=True)
-        nodes = nodes.join(
-            in_scc.select("internal_id"), "internal_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        assigned = loop_checkpoint(
+            assigned.unionByName(
+                in_scc.select("internal_id", F.col("color").alias("component"))
+            ),
+            round_no,
+        )
+        nodes = loop_checkpoint(
+            nodes.join(
+                in_scc.select("internal_id"), "internal_id", "left_anti"
+            ),
+            round_no,
+        )
 
     return assigned

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import loop_checkpoint
 
 
 def spanning_tree(
@@ -41,7 +42,7 @@ def spanning_tree(
         .localCheckpoint(eager=True)
     )
     forest = None
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         ca = comp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
         cb = comp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
         cross = (
@@ -68,17 +69,19 @@ def spanning_tree(
                 F.col("pick.w").alias("w"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        picks = loop_checkpoint(picks, _round + 1)
         forest = (
             picks if forest is None
-            else forest.unionByName(picks).distinct().localCheckpoint(
-                eager=True
+            else loop_checkpoint(
+                forest.unionByName(picks).distinct(), _round + 1
             )
         )
         # contract: hash-min propagation over picked edges until stable
         links = picks.select("a", "b")
+        _c = 0
         while True:
+            _c += 1
             ca2 = comp.select(F.col("v").alias("a"), F.col("c").alias("c1"))
             cb2 = comp.select(F.col("v").alias("b"), F.col("c").alias("c2"))
             m = links.join(ca2, "a").join(cb2, "b")
@@ -92,14 +95,14 @@ def spanning_tree(
             )
             if relabel.isEmpty():
                 break
-            comp = (
+            comp = loop_checkpoint(
                 comp.join(
                     relabel.withColumnRenamed("x", "c"), "c", "left"
                 )
                 .select(
                     "v", F.coalesce("newc", F.col("c")).alias("c")
-                )
-                .localCheckpoint(eager=True)
+                ),
+                _c,
             )
     if forest is None:
         return graph.spark.createDataFrame(

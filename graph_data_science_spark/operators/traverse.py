@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import loop_checkpoint
 
 
 def bfs(
@@ -47,11 +48,11 @@ def bfs(
             .join(visited.select("internal_id", F.lit(1).alias("__v")),
                   "internal_id", "left_anti")
             .select("internal_id", F.lit(hop).alias("hop"))
-            .localCheckpoint(eager=True)
         )
+        nxt = loop_checkpoint(nxt, hop)
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = loop_checkpoint(visited.unionByName(nxt), hop)
         frontier = nxt
     return visited
 
@@ -107,7 +108,7 @@ def sssp(
         [(source, 0.0)], "internal_id long, distance double"
     ).localCheckpoint(eager=True)
     frontier = dist
-    for _ in range(max_iterations):
+    for _it in range(max_iterations):
         cand = (
             edges.join(
                 frontier.select(
@@ -133,7 +134,8 @@ def sssp(
                 F.coalesce("cand", F.lit(float("inf")))
                 < F.coalesce("distance", F.lit(float("inf")))
             ).alias("improved"),
-        ).localCheckpoint(eager=True)
+        )
+        merged = loop_checkpoint(merged, _it + 1)
         frontier = merged.filter("improved").select("internal_id", "distance")
         dist = merged.select("internal_id", "distance")
         if frontier.isEmpty():

@@ -206,3 +206,60 @@ def average_clustering_coefficient(lcc: DataFrame) -> float:
         F.avg("coefficient")
     ).collect()[0][0]
     return float(row or 0.0)
+
+
+def balanced_triads(graph: Graph) -> DataFrame:
+    """gds.alpha.balancedTriads.stream (ref alpha/alpha-proc/.../triangle/
+    BalancedTriadsProc): per-node counts of balanced / unbalanced triads
+    over the signed undirected graph — a triad is balanced iff the product
+    of its three edge signs is positive.
+
+    Parallel edges for a pair collapse by weight SUM; sign(0) counts as
+    positive. Returns (internal_id, balanced long, unbalanced long).
+    """
+    e = graph.edges.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        F.col("weight"),
+    ).filter(F.col("a") != F.col("b"))
+    canon = (
+        e.groupBy("a", "b")
+        .agg(F.sum("weight").alias("w"))
+        .select("a", "b", (F.col("w") >= 0).alias("pos"))
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"),
+                      F.col("pos").alias("p1"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"),
+                      F.col("pos").alias("p2"))
+    e3 = canon.select(F.col("a").alias("x"), F.col("b").alias("z"),
+                      F.col("pos").alias("p3"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .select(
+            "x", "y", "z",
+            # balanced ⇔ even number of negative signs ⇔ odd number of
+            # positives among 3 ⇔ p1 XOR p2 XOR p3
+            (F.col("p1") != (F.col("p2") != F.col("p3"))).alias("balanced"),
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("internal_id"), "balanced")
+        .unionAll(tri.select(F.col("y").alias("internal_id"), "balanced"))
+        .unionAll(tri.select(F.col("z").alias("internal_id"), "balanced"))
+    )
+    counts = corners.groupBy("internal_id").agg(
+        F.sum(F.when(F.col("balanced"), 1).otherwise(0)).alias("balanced"),
+        F.sum(F.when(F.col("balanced"), 0).otherwise(1)).alias("unbalanced"),
+    )
+    return (
+        graph.vertices.select("internal_id")
+        .join(counts, "internal_id", "left")
+        .select(
+            "internal_id",
+            F.coalesce("balanced", F.lit(0)).cast("long").alias("balanced"),
+            F.coalesce("unbalanced", F.lit(0)).cast("long").alias(
+                "unbalanced"
+            ),
+        )
+    )

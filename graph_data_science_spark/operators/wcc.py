@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.checkpoint import loop_checkpoint
 
 
 def wcc(
@@ -69,7 +70,7 @@ def wcc(
         )
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
+    for _it in range(max_iterations):
         # scatter: each endpoint pushes its label to the other side; gather: min
         msgs = (
             sym.join(labels, sym.src == labels.internal_id)
@@ -100,7 +101,9 @@ def wcc(
                     F.least(nxt.label, F.coalesce("jump", nxt.label)).alias("label"),
                 )
             )
-        nxt = nxt.localCheckpoint(eager=True)
+        # plan truncation with periodic stats reset (see plans/checkpoint.py:
+        # inherited sizeInBytes otherwise squares per iteration)
+        nxt = loop_checkpoint(nxt, _it + 1)
         changed = nxt.filter(F.col("label") != F.col("old_label")).count()
         labels = nxt.select("internal_id", "label")
         if changed == 0:

@@ -62,20 +62,20 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle): word n-grams via a size-n sliding window
-    (transform over token indices — pure JVM)."""
+    (transform over token indices — pure JVM). Documents shorter than n
+    tokens produce NO shingles (they can never clear a Jaccard threshold
+    against a real n-gram set, and emitting a whole-text fallback here
+    would create candidate pairs the SQL oracle never sees)."""
     toks = tokens_col(text_col)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.when(F.size(toks) >= n, grams).otherwise(
-                F.array(F.concat_ws(" ", toks))
-            )
-        ).alias("shingle"),
-    ).distinct()
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

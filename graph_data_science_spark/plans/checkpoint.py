@@ -26,6 +26,45 @@ LINEAGE_SCHEMA = (
 )
 
 
+def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` + rebuild as a fresh ``LogicalRDD`` with
+    *default* statistics.
+
+    ``Dataset.localCheckpoint`` propagates the origin plan's computed
+    ``sizeInBytes`` into the new ``LogicalRDD`` (``LogicalRDD.fromDataset``
+    captures the optimized-plan stats). In an iterative loop whose
+    superstep joins state with messages derived from that same state, the
+    estimate roughly squares every iteration — double-exponential growth
+    that first slows planning (BigInteger arithmetic on million-bit
+    numbers) and then crashes with ``ArithmeticException: BigInteger would
+    overflow supported range`` after ~25 supersteps. Rebuilding through
+    ``SparkSession.internalCreateDataFrame`` produces a ``LogicalRDD``
+    with no inherited stats (falls back to ``spark.sql.defaultSizeInBytes``),
+    resetting the growth. Costs: loses the preserved output partitioning
+    (one extra exchange on the next use) — callers alternate this with
+    plain ``localCheckpoint`` (see :func:`loop_checkpoint`).
+    """
+    sp = df.sparkSession
+    jdf = df._jdf.localCheckpoint(True)
+    jrdd = jdf.queryExecution().toRdd()
+    jdf2 = sp._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
+    return DataFrame(jdf2, sp)
+
+
+def loop_checkpoint(df: DataFrame, iteration: int, every: int = 6) -> DataFrame:
+    """Per-iteration plan truncation for iterative DataFrame loops.
+
+    Plain ``localCheckpoint`` most supersteps (keeps the preserved output
+    partitioning so the next state⋈messages join can avoid an exchange);
+    a full stats-resetting rebuild every ``every`` iterations so the
+    inherited-stats doubling (see :func:`fresh_local_checkpoint`) stays
+    bounded at ~``2**every`` × the true size — harmless to planning.
+    """
+    if iteration % every == 0:
+        return fresh_local_checkpoint(df)
+    return df.localCheckpoint(eager=True)
+
+
 @dataclass
 class CheckpointStore:
     spark: SparkSession

@@ -220,7 +220,20 @@ def build_csr_graph(
             block_dir = os.path.join(
                 tempfile.gettempdir(), f"gds_csr_{uuid.uuid4().hex[:12]}"
             )
-        built.write.partitionBy("pid").mode("overwrite").parquet(block_dir)
+        # UNCOMPRESSED on purpose: the worker-side load memory-maps these
+        # files (load_block: pyarrow memory_map=True + zero-copy buffer
+        # views). With snappy (the default) every python worker would
+        # decompress a PRIVATE heap copy of each block it touches — at N
+        # workers that is up to N× the graph in RAM (measured: the
+        # local[32] throughput collapse at 145M edges). Plain pages make
+        # the views true file mappings, so all workers on a host share ONE
+        # page-cache copy regardless of worker count.
+        (
+            built.write.partitionBy("pid")
+            .mode("overwrite")
+            .option("compression", "none")
+            .parquet(block_dir)
+        )
         return CsrGraph(
             hub_salts=hub_salts,
             num_blocks=num_blocks,

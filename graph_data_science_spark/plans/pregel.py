@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .checkpoint import CheckpointStore, Timer
+from .checkpoint import CheckpointStore, Timer, loop_checkpoint
 from .csr import CsrGraph, decode_block_row, expand_ranges
 
 MSG_SCHEMA = "vertex long, msg double"
@@ -503,7 +503,11 @@ def _run_pregel_loop(
                     ),
                 )
                 before = _persistent_ids()
-                new_state = new_state.localCheckpoint(eager=True)
+                # loop_checkpoint: plain localCheckpoint most supersteps,
+                # stats-resetting rebuild every few — without the reset the
+                # inherited sizeInBytes estimate squares per superstep and
+                # overflows BigInteger around superstep ~26.
+                new_state = loop_checkpoint(new_state, t)
                 ckpt_history.append(_persistent_ids() - before)
                 if len(ckpt_history) > 2:
                     _unpersist(ckpt_history.pop(0))
