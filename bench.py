@@ -30,7 +30,7 @@ def main() -> None:
     from graph_data_science_spark import driver_contract as dc
     from graph_data_science_spark.graph import from_edge_df
     from graph_data_science_spark.operators.pagerank import pagerank
-    from graph_data_science_spark.plans.csr import build_csr_graph
+    from graph_data_science_spark.plans.fused import build_bucketed_csr
     from graph_data_science_spark.session import get_spark
     from graph_data_science_spark.sources.corpus import (
         extract_import_edges,
@@ -71,13 +71,14 @@ def main() -> None:
     timings["corpus_build"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
-    csr = build_csr_graph(g.edges)
+    csr = build_bucketed_csr(g.edges, g.node_count(), n_buckets=64)
     timings["csr_build"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
     outcome = pagerank(
         g, tolerance=0.0, l1_tolerance=1e-6 * max(g.node_count(), 1),
         max_iterations=pr_iters, csr=csr,
+        chunk_size=int(os.environ.get("BENCH_CHUNK", "5")),
     )
     outcome.scores.count()
     pr_sec = time.monotonic() - t0

@@ -1064,6 +1064,132 @@ def q_influence_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# structural-validity oracles for the schedule-dependent operators: the
+# VALUES (colors, communities, tree weights) are engine-specific, but the
+# structural invariants GDS guarantees are SQL-checkable exactly —
+# ref beta/k1coloring/K1Coloring.java:65 (proper coloring), Louvain.java
+# (total assignment), Prim/SpanningTree (forest edge count = V − C).
+# ---------------------------------------------------------------------------
+def q_k1coloring_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper-coloring invariant: every node colored, zero monochromatic
+    edges. Violations computed Spark-side over the actual coloring."""
+    from .graph import UNDIRECTED
+    from .operators.k1coloring import k1coloring
+
+    e = edges_mod(spark, sf_dir)
+    g = from_edge_df(e, orientation=UNDIRECTED)
+    colors, _ran, _conv = k1coloring(g)
+    ca = colors.select(
+        F.col("internal_id").alias("src"), F.col("color").alias("c_src")
+    )
+    cb = colors.select(
+        F.col("internal_id").alias("dst"), F.col("color").alias("c_dst")
+    )
+    violations = (
+        g.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .join(ca, "src")
+        .join(cb, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .count()
+    )
+    nodes_colored = colors.count()
+    return spark.createDataFrame(
+        [(nodes_colored, violations)],
+        "nodes_colored long, violations long",
+    )
+
+
+def sql_k1coloring_validity() -> str:
+    return f"""
+WITH
+{_mod_header()}
+SELECT CAST(COUNT(*) AS BIGINT) AS nodes_colored,
+       CAST(0 AS BIGINT) AS violations
+FROM nodes
+"""
+
+
+def q_louvain_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every node assigned to exactly one community (GDS totality)."""
+    from .operators.louvain import louvain
+
+    g = _graph_sp(spark, sf_dir)
+    res = louvain(g)
+    return res.assignment.agg(
+        F.count(F.lit(1)).alias("nodes_assigned"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("internal_id")
+        ).alias("duplicate_assignments"),
+    )
+
+
+def sql_louvain_validity() -> str:
+    return f"""
+WITH edges AS ({SQL_EDGES_SP}),
+nodes AS ({SQL_NODES_SP})
+SELECT CAST(COUNT(*) AS BIGINT) AS nodes_assigned,
+       CAST(0 AS BIGINT) AS duplicate_assignments
+FROM nodes
+"""
+
+
+def q_spanning_tree_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spanning-forest invariant: edge count = V − #components, checked
+    against a recursive-CTE component count on the same co-supplier graph."""
+    from .graph import UNDIRECTED
+    from .operators.spanningtree import spanning_tree
+
+    e = edges_ss(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    g = from_edge_df(e.withColumn("weight", (F.col("src") * 1000
+                     + F.col("dst")).cast("double")),
+                     weight="weight", orientation=UNDIRECTED)
+    tree = spanning_tree(g)
+    return tree.agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+def sql_spanning_tree_validity() -> str:
+    return f"""
+WITH RECURSIVE
+canon AS MATERIALIZED ({SQL_EDGES_SS}),
+nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+  (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
+  UNION ALL SELECT b, a FROM canon),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst AS id, r.lab FROM reach r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id, MIN(lab) AS c FROM reach GROUP BY id)
+SELECT CAST((SELECT COUNT(*) FROM comp)
+          - (SELECT COUNT(DISTINCT c) FROM comp) AS BIGINT) AS n_edges
+"""
+
+
+def sql_fastrp() -> str:
+    # values are seeded-hash-specific; the oracle pins TOTALITY + dim:
+    # every SP-graph node carries an embedding of the requested dimension
+    return f"""
+WITH edges AS ({SQL_EDGES_SP}),
+nodes AS ({SQL_NODES_SP})
+SELECT id, 16 AS dim FROM nodes
+"""
+
+
+def sql_node2vec() -> str:
+    # minCount=0 => every walked node (= every node; walks_per_node=2
+    # start from each) gets a vector of the requested dimension
+    return f"""
+WITH
+{_mod_header()}
+SELECT id, 16 AS dim FROM nodes
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -1093,6 +1219,10 @@ def ext_queries() -> dict:
         "node2vec": q_node2vec,
         "spanning_tree": q_spanning_tree,
         "influence_celf": q_influence_celf,
+        # structural-validity entries (exact oracles for the invariants)
+        "k1coloring_validity": q_k1coloring_validity,
+        "louvain_validity": q_louvain_validity,
+        "spanning_tree_validity": q_spanning_tree_validity,
     }
 
 
@@ -1115,4 +1245,9 @@ def ext_oracle_sql() -> dict:
         "pagerank_weighted": sql_pagerank_weighted(),
         "triangle_stream": sql_triangle_stream(),
         "balanced_triads": sql_balanced_triads(),
+        "k1coloring_validity": sql_k1coloring_validity(),
+        "louvain_validity": sql_louvain_validity(),
+        "spanning_tree_validity": sql_spanning_tree_validity(),
+        "fastrp": sql_fastrp(),
+        "node2vec": sql_node2vec(),
     }

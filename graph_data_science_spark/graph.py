@@ -46,6 +46,13 @@ def dense_ids(df: DataFrame, id_col: str, out_col: str = "internal_id") -> DataF
     # range partitioning gives globally ordered partitions
     parts = max(distinct.sparkSession.sparkContext.defaultParallelism, 1)
     ranged = distinct.repartitionByRange(parts, F.col(id_col)).sortWithinPartitions(id_col)
+    # PIN the physical partitioning before reading it twice: the offsets
+    # are collected in one action and consumed by mapInPandas in another,
+    # and without the pin AQE may coalesce the range-shuffle differently
+    # per action (plan-dependent), silently mis-basing the offsets —
+    # duplicate + missing internal ids. localCheckpoint freezes one RDD
+    # (O(n) id rows, the cheap thing) that both actions share.
+    ranged = ranged.localCheckpoint(eager=True)
     ranged = ranged.withColumn("__pid", F.spark_partition_id())
     counts = (
         ranged.groupBy("__pid").count().orderBy("__pid").collect()
@@ -61,16 +68,20 @@ def dense_ids(df: DataFrame, id_col: str, out_col: str = "internal_id") -> DataF
     )
 
     def add_offsets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one iterator == one partition, possibly MANY Arrow batches:
+        # the position must accumulate across batches, not restart
+        pos = None
         for pdf in it:
             if len(pdf) == 0:
                 yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})[
                     [id_col, out_col]
                 ]
                 continue
-            pid = int(pdf["__pid"].iloc[0])
-            base = offsets.get(pid, 0)
+            if pos is None:
+                pos = offsets.get(int(pdf["__pid"].iloc[0]), 0)
             out = pdf[[id_col]].copy()
-            out[out_col] = range(base, base + len(pdf))
+            out[out_col] = range(pos, pos + len(pdf))
+            pos += len(pdf)
             yield out
 
     return ranged.mapInPandas(add_offsets, schema)

@@ -30,11 +30,25 @@ def betweenness(
     sampling_size: int | None = None,
     sampling_seed: int = 42,
     normalize_undirected: bool = False,
+    max_exact_nodes: int = 100_000,
 ) -> DataFrame:
     """(internal_id, score). ``sources=None`` uses every vertex (exact);
     ``sampling_size`` picks top-degree-weighted random sources (the
-    reference's RandomDegree flavor: degree-biased)."""
+    reference's RandomDegree flavor: degree-biased).
+
+    Exact mode materializes O(sources × reachable-nodes) state — n² on a
+    connected graph. Above ``max_exact_nodes`` vertices it refuses to run
+    without ``sources``/``sampling_size`` rather than producing a
+    cluster-killing shuffle (raise the limit explicitly if you mean it)."""
     spark = graph.spark
+    if sources is None and sampling_size is None:
+        n = graph.node_count()
+        if n > max_exact_nodes:
+            raise ValueError(
+                f"betweenness exact mode on {n} nodes materializes n² "
+                "state; pass sampling_size=... (GDS RandomDegree "
+                "sampling) or raise max_exact_nodes explicitly"
+            )
     edges = (
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))

@@ -86,6 +86,13 @@ def influence_maximization(
     )
 
     if candidates is None:
+        n = graph.node_count()
+        if n > 100_000:
+            raise ValueError(
+                f"influence_maximization with all {n} nodes as candidates "
+                "materializes candidate×reachable state; pass candidates= "
+                "(e.g. a top-degree sample) on large graphs"
+            )
         cand_df = graph.vertices.select(F.col("internal_id").alias("cand"))
     else:
         cand_df = spark.createDataFrame(

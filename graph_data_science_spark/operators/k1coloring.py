@@ -50,14 +50,21 @@ def k1coloring(
             F.col("internal_id").alias("dst"), F.col("color").alias("c_dst")
         )
         adj = sym.join(mine, "src").join(theirs, "dst")
-        # loser of a same-color conflict = higher node id (recolors next)
+        # loser of a same-color conflict = higher node id (recolors next).
+        # offset = rank among the loser's smaller-id same-color conflict
+        # neighbors: instead of every loser speculatively grabbing the
+        # SAME first-free color (which on dense/clique-like regions
+        # resolves one node per round — O(chromatic-number) rounds), the
+        # r-th-ranked loser takes the r-th free color, so a clique colors
+        # in one round and collisions only persist across non-adjacent
+        # overlap — geometric convergence in practice.
         conflicted = (
             adj.filter(
                 (F.col("c_src") == F.col("c_dst"))
                 & (F.col("src") > F.col("dst"))
             )
-            .select("src")
-            .distinct()
+            .groupBy("src")
+            .agg((F.count(F.lit(1)) - 1).alias("offset"))
         )
         n_conf = conflicted.count()
         if n_conf == 0:
@@ -66,28 +73,23 @@ def k1coloring(
         # forbidden = all neighbor colors of conflicted nodes
         forb = (
             adj.join(conflicted, "src")
-            .groupBy("src")
+            .groupBy("src", "offset")
             .agg(F.array_sort(F.collect_set("c_dst")).alias("used"))
         )
-        # smallest non-negative color not in `used`: scan the sorted set —
-        # position where used[i] != i is the first gap
-        first_free = F.coalesce(
-            F.get(
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("used") - 1),
-                        lambda i: F.when(F.get("used", i) != i, i).otherwise(
-                            F.lit(None)
-                        ),
-                    ),
-                    lambda x: x.isNotNull(),
+        # offset-th non-negative color not in `used`: enumerate the free
+        # colors in [0, size(used)+offset] (always enough to contain
+        # offset+1 gaps) and index into them
+        free_pick = F.get(
+            F.array_except(
+                F.sequence(
+                    F.lit(0), F.size("used") + F.col("offset") + F.lit(1)
                 ),
-                F.lit(0),
+                F.col("used"),
             ),
-            F.size("used"),
+            F.col("offset"),
         ).cast("long")
         recolored = forb.select(
-            F.col("src").alias("internal_id"), first_free.alias("new_color")
+            F.col("src").alias("internal_id"), free_pick.alias("new_color")
         )
         colors = loop_checkpoint(
             colors.join(recolored, "internal_id", "left")

@@ -32,13 +32,30 @@ def node_similarity(
     similarity_cutoff: float = 1e-42,
     top_k: int = 10,
     both_directions: bool = True,
+    max_shared_degree: int | None = 100_000,
 ) -> DataFrame:
-    """(node1 long, node2 long, similarity double)."""
+    """(node1 long, node2 long, similarity double).
+
+    ``max_shared_degree``: wedge-join hub guard. The join through a shared
+    neighbor costs Σ_dst indeg(dst)² — one popular target with 10⁶
+    in-edges alone yields 10¹² wedge rows. Targets with in-degree above
+    the cap are EXCLUDED from the intersection count (an upper-bound
+    truncation of `common`, biasing similarity down for pairs sharing
+    ultra-hubs — the same spirit as GDS's degreeCutoff bounding; set to
+    None for exact semantics on small graphs)."""
     edges = graph.edges.select("src", "dst").distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     if degree_cutoff > 1:
         deg = deg.filter(F.col("deg") >= degree_cutoff)
     e = edges.join(deg.select("src"), "src")
+    if max_shared_degree is not None:
+        keep_dst = (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("__indeg"))
+            .filter(F.col("__indeg") <= max_shared_degree)
+            .select("dst")
+        )
+        e = e.join(keep_dst, "dst")
 
     # wedge join: pairs (a, b) sharing out-neighbor with intersection size
     ea = e.select(F.col("src").alias("node1"), F.col("dst"))

@@ -71,8 +71,26 @@ def pagerank(
     checkpoint: CheckpointStore | None = None,
     csr: CsrGraph | None = None,
     article_rank: bool = False,
+    chunk_size: int = 1,
 ) -> PageRankOutcome:
     alpha = 1.0 - damping
+    from ..plans.fused import BucketedCsr
+
+    if isinstance(csr, BucketedCsr):
+        return _pagerank_fused(
+            graph,
+            csr,
+            damping=damping,
+            tolerance=tolerance,
+            max_iterations=max_iterations,
+            weighted=weighted,
+            source_nodes=source_nodes,
+            l1_tolerance=l1_tolerance,
+            scaler=scaler,
+            checkpoint=checkpoint,
+            article_rank=article_rank,
+            chunk_size=chunk_size,
+        )
     if csr is None:
         csr = build_csr_graph(graph.edges)
 
@@ -280,6 +298,112 @@ def eigenvector(
         scatter_all=True,
     )
     scores = result.state.select(
+        F.col("vertex").alias("internal_id"), F.col("rank").alias("score")
+    )
+    scores = scale_column(scores, "score", scaler)
+    return PageRankOutcome(
+        scores=scores,
+        ran_iterations=result.ran_iterations,
+        converged=result.converged,
+        metrics=result.metrics,
+    )
+
+
+def _pagerank_fused(
+    graph: Graph,
+    csr,
+    *,
+    damping: float,
+    tolerance: float,
+    max_iterations: int,
+    weighted: bool,
+    source_nodes,
+    l1_tolerance: float | None,
+    scaler: str,
+    checkpoint: CheckpointStore | None,
+    article_rank: bool,
+    chunk_size: int = 1,
+) -> PageRankOutcome:
+    """Fused blob-state engine (plans/fused.py): identical delta-push
+    semantics, one python round-trip + blob-only shuffles per superstep.
+    This is the default engine for the north-rule throughput path."""
+    from ..plans.fused import run_fused, write_static_array
+
+    alpha = 1.0 - damping
+    degrees = graph.out_degrees(weighted=weighted)
+    delta_coefficient = 1.0
+    if article_rank:
+        avg_degree = graph.relationship_count() / max(graph.node_count(), 1)
+        degrees = degrees.withColumn(
+            "degree", F.col("degree") + F.lit(avg_degree)
+        )
+        delta_coefficient = avg_degree
+    write_static_array(
+        csr,
+        degrees.select(
+            F.col("internal_id").alias("vertex"),
+            F.col("degree").cast("double").alias("value"),
+        ),
+        "degree",
+    )
+    sources = _source_internal_ids(graph, source_nodes)
+    src_arr = (
+        np.array(sorted(sources), dtype=np.int64)
+        if sources is not None
+        else None
+    )
+    coeff = damping * delta_coefficient
+    bw = csr.bucket_width
+
+    def compute(bucket, it, state, msg_vals, msg_mask, static):
+        deg = np.asarray(static("degree"))
+        width = len(deg)
+        base = bucket * bw
+        safe_deg = np.where(deg > 0, deg, 1.0)
+        if it == 1:
+            if src_arr is None:
+                rank = np.full(width, alpha)
+            else:
+                rank = np.zeros(width)
+                local = src_arr[
+                    (src_arr >= base) & (src_arr < base + width)
+                ] - base
+                rank[local] = alpha
+            delta = rank.copy()
+            send_mask = (delta != 0.0) & (deg > 0)
+        else:
+            rank, _prev = state
+            if msg_vals is None:
+                msg = np.zeros(width)
+                msg_mask = np.zeros(width, dtype=bool)
+            else:
+                msg = np.where(msg_mask, msg_vals, 0.0)
+            delta = coeff * msg
+            rank = rank + delta
+            send_mask = (delta > tolerance) & (deg > 0)
+        send = np.where(send_mask, delta / safe_deg, np.nan)
+        l1 = float(np.abs(delta).sum())
+        active = int((delta > tolerance).sum()) if it > 1 else int(
+            (delta != 0.0).sum()
+        )
+        return (rank, delta), send, l1, active
+
+    converged_fn = None
+    if l1_tolerance is not None:
+        converged_fn = lambda m: m["l1"] <= l1_tolerance  # noqa: E731
+
+    result = run_fused(
+        csr,
+        compute,
+        max_iterations=max_iterations,
+        reducer="sum",
+        converged_fn=converged_fn,
+        checkpoint=checkpoint,
+        use_weights=weighted,
+        chunk_size=chunk_size,
+        spark=graph.spark,
+    )
+    scores = result.to_rows(("rank", "delta")).select(
         F.col("vertex").alias("internal_id"), F.col("rank").alias("score")
     )
     scores = scale_column(scores, "score", scaler)

@@ -110,19 +110,26 @@ def cosine_topk_lsh(
         )
         buckets = part if buckets is None else buckets.unionByName(part)
 
-    a = buckets.select("table", "bucket", F.col("vec_id"), F.col("v").alias("va"))
+    # candidate pairs dedup on IDS ONLY — a distinct() that carries the
+    # vectors would shuffle every embedding once per bucket membership
+    # (dims × tables × bytes); vectors are re-joined after the dedup.
+    a = buckets.select("table", "bucket", "vec_id")
     b = buckets.select(
-        "table",
-        "bucket",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("vb"),
+        "table", "bucket", F.col("vec_id").alias("neighbor_id")
     )
-    cands = (
+    cand_ids = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", "va", "vb")
+        .select("vec_id", "neighbor_id")
         .distinct()
     )
+    va = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb")
+    )
+    cands = cand_ids.join(va, "vec_id").join(vb, "neighbor_id")
     na = _norm_col("va")
     nb = _norm_col("vb")
     scored = cands.select(
@@ -152,51 +159,43 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF: assign every vector to its nearest of ``n_centroids`` seeded
     random unit centroids; a query scores only vectors in its ``nprobe``
-    nearest centroid cells. Deterministic (seeded centroids)."""
+    nearest centroid cells. Deterministic (seeded centroids).
+
+    Centroid assignment runs as ONE vectorized numpy matmul per Arrow
+    batch inside mapInPandas — the centroid matrix lives in the closure
+    (cloudpickled once per worker), NOT as n_centroids × dim plan
+    literals, which at real dims (768+) would bloat every plan and
+    recompile per query."""
     dim = len(emb.select(vec_col).first()[0])
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = rng.standard_normal((n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents_t = cents.T.copy()
 
-    def cent_scores():
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in cents
-            ]
-        )
-
-    scored = emb.select(
+    src = emb.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        cent_scores().alias("cs"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    ranked = scored.select(
-        "vec_id",
-        "v",
-        F.slice(
-            F.reverse(
-                F.transform(
-                    F.array_sort(
-                        F.transform(
-                            F.col("cs"),
-                            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
-                        )
-                    ),
-                    lambda st: st["i"],
-                )
-            ),
-            1,
-            nprobe,
-        ).alias("probes"),
+
+    def assign(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())  # (batch, dim)
+            scores = m @ cents_t  # (batch, n_centroids)
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "probes": [row.astype("int32") for row in order],
+                }
+            )
+
+    ranked = src.mapInPandas(
+        assign, "vec_id long, v array<double>, probes array<int>"
     )
     data_side = ranked.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -211,11 +210,13 @@ def ivf_topk(
     )
     na = _norm_col("va")
     nb = _norm_col("vb")
+    # no distinct needed: each data vector lives in exactly ONE cell, so a
+    # (query, neighbor) pair joins at most once
     out = cands.select(
         "vec_id",
         "neighbor_id",
         (_dot("va", "vb") / (na * nb)).alias("cosine"),
-    ).distinct()
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -160,11 +160,18 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, *, bands: int = 8
+    sigs: DataFrame, *, bands: int = 8, max_bucket_size: int | None = 10_000
 ) -> DataFrame:
     """(doc1, doc2, bands_matched): banded LSH — docs sharing any band
     bucket. The join key is (band, bucket-hash): candidate generation is a
-    hash-partitioned equi-join, never a cross join."""
+    hash-partitioned equi-join, never a cross join.
+
+    ``max_bucket_size``: a (band, bucket) with k members expands to k²
+    pairs — one boilerplate bucket (license headers, empty docs) of 10⁶
+    docs would alone emit 10¹² rows. Buckets above the cap are dropped
+    (their members are boilerplate-identical in that band and near-
+    certainly pair up through their other, more selective bands; exact
+    duplicates belong to exact_dedup anyway). None disables the guard."""
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = sigs.select(
         "doc_id",
@@ -182,6 +189,14 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        keep = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(keep, ["band", "bucket"])
     a = banded.select(F.col("doc_id").alias("doc1"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc2"), "band", "bucket")
     return (
@@ -254,11 +269,14 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_dups(
-    sim: DataFrame, *, max_hamming: int = 3
+    sim: DataFrame, *, max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """(doc1, doc2, hamming): candidate pairs by 16-bit block (pigeonhole:
     any pair within hamming distance 3 shares at least one of 4 blocks),
-    verified by popcount. Block-join keeps this linear-ish at scale."""
+    verified by popcount. Block-join keeps this linear-ish at scale.
+    ``max_bucket_size`` guards the k² blow-up of a boilerplate block
+    value (see minhash_lsh_candidates)."""
     blocks = sim.select(
         "doc_id",
         "simhash",
@@ -273,6 +291,14 @@ def simhash_near_dups(
             )
         ).alias("block_idx", "block_val"),
     )
+    if max_bucket_size is not None:
+        keep = (
+            blocks.groupBy("block_idx", "block_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("block_idx", "block_val")
+        )
+        blocks = blocks.join(keep, ["block_idx", "block_val"])
     a = blocks.select(
         F.col("doc_id").alias("doc1"),
         F.col("simhash").alias("h1"),

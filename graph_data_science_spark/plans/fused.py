@@ -1,0 +1,612 @@
+"""Fused blob-state Pregel kernel — one python round-trip per superstep.
+
+Motivation (measured on local[8]→local[32], 22M edges, 1.5M vertices):
+a row-wise exchange of the vertex-state DataFrame costs ~0.85 s and does
+NOT scale with cores (UnsafeRow serialization + shuffle of millions of
+tiny rows is the serial term), and the classic kernel does 2-3 of them
+per superstep. This kernel removes row-wise state entirely:
+
+- Vertices are range-partitioned into ``n_buckets`` contiguous id
+  buckets; CSR (CSC-within-block) chunks are partitioned by the SOURCE's
+  bucket, so bucket b's task holds exactly the out-edges of its own
+  vertices (``build_bucketed_csr``).
+- The vertex state of a bucket is ONE DataFrame row carrying dense numpy
+  arrays as binary blobs (vertex ids are implicit: ``base + arange``).
+- A superstep is ONE ``cogroup(msgs, state).applyInPandas``:
+  combine incoming packed messages into a dense bucket array → apply →
+  scatter from the bucket's own CSC chunks → emit the new state row plus
+  per-destination-bucket packed message rows. Everything that crosses an
+  exchange or the Arrow boundary is a handful of blob rows per bucket —
+  both shuffles per superstep ship O(n_buckets²) blobs, never O(V) rows.
+- Per-superstep metrics ride on the state row as plain numeric columns
+  and are read through an Observation on the same action — one Spark job
+  per superstep total.
+
+Static per-vertex inputs (e.g. out-degree for PageRank's push) are
+written once as dense per-bucket arrays next to the CSR blocks and read
+through the same worker-resident cache (memory-mapped, uncompressed).
+
+Skew note: range partitioning gives up the salted-hash hub splitting of
+``build_csr_graph``; choose ``n_buckets`` ≥ 4× cores so heavy buckets
+average out, and keep the classic kernel for graphs with single-vertex
+degree ≫ |E|/n_buckets.
+
+Reference semantics preserved: scatter/gather with an associative
+reducer, vote-to-halt via the frontier mask, per-superstep metrics
+(iteration, rows, delta-norm, wall-time) — ref core/.../beta/pregel/
+(PregelComputation.java:38-117, Pregel.java:137-165).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+from collections import OrderedDict
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .checkpoint import CheckpointStore, Timer, loop_checkpoint
+from .csr import _build_chunks
+
+# kind 0 = state row (pay1..payK = algorithm state arrays, metrics cols),
+# kind 1 = packed messages (pay1 = int64 dst ids, pay2 = float64 values)
+FUSED_SCHEMA = (
+    "kind int, bucket int, pay1 binary, pay2 binary, "
+    "l1 double, active long, nrows long"
+)
+
+
+@dataclass
+class BucketedCsr:
+    block_dir: str
+    n_buckets: int
+    bucket_width: int
+    n_vertices: int
+
+    def cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.block_dir, ignore_errors=True)
+
+
+def _default_block_root() -> str:
+    """CSR block files live on tmpfs when available: they are read via
+    mmap every superstep, and tmpfs has no disk writeback to pollute the
+    page cache (mirrors executor-local NVMe on a real cluster)."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/gds-csr"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return tempfile.gettempdir()
+
+
+def build_bucketed_csr(
+    edges: DataFrame,
+    n_vertices: int,
+    *,
+    n_buckets: int | None = None,
+    block_dir: str | None = None,
+    max_chunk_edges: int = 4_000_000,
+) -> BucketedCsr:
+    """One shuffle: bucket by src range, pack CSC chunks, persist
+    uncompressed (workers memory-map them — one page-cache copy/host)."""
+    spark = edges.sparkSession
+    if n_buckets is None:
+        n_buckets = max(4 * spark.sparkContext.defaultParallelism, 8)
+    bucket_width = max(1, -(-n_vertices // n_buckets))
+    n_buckets = -(-n_vertices // bucket_width)
+
+    if block_dir is None:
+        import uuid
+
+        block_dir = os.path.join(
+            _default_block_root(), f"gds_fcsr_{uuid.uuid4().hex[:12]}"
+        )
+
+    e = edges.select(
+        (F.col("src") / bucket_width).cast("int").alias("pid"),
+        "src",
+        "dst",
+        F.col("weight").cast("double").alias("weight"),
+    )
+
+    def build(key, pdf):
+        return _build_chunks(key, pdf, max_chunk_edges)
+
+    built = e.groupBy("pid").applyInPandas(
+        build,
+        "pid int, chunk int, n_src long, n_edges long, src_ids binary, "
+        "dst_ids binary, dst_offsets binary, src_idx binary, weights binary",
+    )
+    (
+        built.write.partitionBy("pid")
+        .mode("overwrite")
+        .option("compression", "none")
+        .parquet(os.path.join(block_dir, "csr"))
+    )
+    return BucketedCsr(
+        block_dir=block_dir,
+        n_buckets=n_buckets,
+        bucket_width=bucket_width,
+        n_vertices=n_vertices,
+    )
+
+
+def write_static_array(
+    csr: BucketedCsr, df: DataFrame, name: str, default: float = 0.0
+) -> None:
+    """Persist a per-vertex double column as dense per-bucket arrays.
+    ``df``: (vertex long, value double)."""
+    bw = csr.bucket_width
+
+    def pack(key, pdf: pd.DataFrame):
+        b = int(key[0])
+        arr = np.full(bw, default, dtype=np.float64)
+        idx = pdf["vertex"].to_numpy(np.int64) - b * bw
+        arr[idx] = pdf["value"].to_numpy(np.float64)
+        return pd.DataFrame({"bucket": [b], "payload": [arr.tobytes()]})
+
+    out = (
+        df.select(
+            (F.col("vertex") / bw).cast("int").alias("bucket"),
+            "vertex",
+            F.col("value").cast("double").alias("value"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(pack, "bucket int, payload binary")
+    )
+    (
+        out.write.partitionBy("bucket")
+        .mode("overwrite")
+        .option("compression", "none")
+        .parquet(os.path.join(csr.block_dir, f"static_{name}"))
+    )
+
+
+_FUSED_CACHE: OrderedDict = OrderedDict()
+_FUSED_CACHE_MAX = int(os.environ.get("GDS_BLOCK_CACHE_BLOCKS", "256")) * 4
+
+_CSR_COLS = ("src_ids", "dst_ids", "dst_offsets", "src_idx", "weights")
+_CSR_DTYPES = (np.int64, np.int64, np.int64, np.int32, np.float64)
+
+
+def _cache_get(key):
+    hit = _FUSED_CACHE.get(key)
+    if hit is not None:
+        _FUSED_CACHE.move_to_end(key)
+    return hit
+
+
+def _cache_put(key, val):
+    _FUSED_CACHE[key] = val
+    while len(_FUSED_CACHE) > _FUSED_CACHE_MAX:
+        _FUSED_CACHE.popitem(last=False)
+
+
+def load_bucket_chunks(block_dir: str, bucket: int) -> list[tuple]:
+    key = ("csr", block_dir, bucket)
+    hit = _cache_get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    chunks = []
+    for path in sorted(
+        glob.glob(os.path.join(block_dir, "csr", f"pid={bucket}", "*.parquet"))
+    ):
+        t = pq.read_table(path, columns=list(_CSR_COLS), memory_map=True)
+        cols = [t.column(c) for c in _CSR_COLS]
+        for i in range(t.num_rows):
+            arrays = []
+            for col, dt in zip(cols, _CSR_DTYPES):
+                arrays.append(np.frombuffer(col[i].as_buffer(), dtype=dt))
+            chunks.append(tuple(arrays))
+    _cache_put(key, chunks)
+    return chunks
+
+
+def load_static(block_dir: str, name: str, bucket: int, bw: int,
+                default: float = 0.0) -> np.ndarray:
+    key = ("static", block_dir, name, bucket)
+    hit = _cache_get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    paths = sorted(
+        glob.glob(
+            os.path.join(
+                block_dir, f"static_{name}", f"bucket={bucket}", "*.parquet"
+            )
+        )
+    )
+    if not paths:
+        arr = np.full(bw, default, dtype=np.float64)
+    else:
+        t = pq.read_table(paths[0], columns=["payload"], memory_map=True)
+        arr = np.frombuffer(t.column("payload")[0].as_buffer(), np.float64)
+    _cache_put(key, arr)
+    return arr
+
+
+@dataclass
+class FusedResult:
+    state: DataFrame  # FUSED_SCHEMA rows, kind == 0
+    ran_iterations: int
+    converged: bool
+    metrics: list[dict]
+    bucket_width: int = 0
+
+    def to_rows(self, cols: tuple[str, str]) -> DataFrame:
+        """Unpack blob state back to (vertex long, <c1> double, <c2>
+        double) rows."""
+        c1, c2 = cols
+        bw_df = self.state
+        bw = self.bucket_width
+
+        def unpack(pdf_iter):
+            for pdf in pdf_iter:
+                for r in pdf.itertuples(index=False):
+                    a1 = np.frombuffer(r.pay1, dtype=np.float64)
+                    a2 = np.frombuffer(r.pay2, dtype=np.float64)
+                    base = r.bucket * bw  # last bucket may be narrower
+                    yield pd.DataFrame(
+                        {
+                            "vertex": base + np.arange(len(a1), dtype=np.int64),
+                            c1: a1,
+                            c2: a2,
+                        }
+                    )
+
+        return bw_df.mapInPandas(
+            unpack, f"vertex long, {c1} double, {c2} double"
+        )
+
+
+def run_fused(
+    csr: BucketedCsr,
+    compute: Callable,
+    *,
+    max_iterations: int,
+    reducer: str = "sum",
+    converged_fn: Callable[[dict], bool] | None = None,
+    checkpoint: CheckpointStore | None = None,
+    use_weights: bool = False,
+    chunk_size: int = 1,
+    spark=None,
+) -> FusedResult:
+    """Superstep loop over blob state.
+
+    ``chunk_size`` > 1 chains that many supersteps lazily into ONE Spark
+    job (per-superstep metrics still observed individually): the
+    intermediate message blobs then exist only as shuffle files — they
+    never pass through the block manager — which at ~16 B/edge of message
+    traffic is the dominant materialization cost. Trade-off: convergence
+    is detected at chunk granularity (the returned state is the
+    chunk-end state even if an earlier superstep already met the
+    criterion), so keep the default 1 when exact ranIterations parity
+    matters and raise it for fixed-iteration throughput runs.
+
+    ``compute(bucket, iteration, state, msg_vals, msg_mask, static) ->
+    (new_state: tuple[np.ndarray, np.ndarray], send: np.ndarray | None,
+    l1: float, active: int)``
+
+    - ``state``: None on the first superstep (compute initializes), else
+      the (pay1, pay2) arrays from the previous superstep.
+    - ``msg_vals``/``msg_mask``: dense reduced incoming messages for this
+      bucket and a received-mask (both None on the first superstep).
+    - ``send``: per-vertex value to push along out-edges (NaN = don't
+      send), or None to send nothing.
+    - ``static``: accessor ``static(name, default)`` for dense per-bucket
+      arrays written by :func:`write_static_array`.
+    """
+    if spark is None:
+        raise ValueError("spark session required")
+    nb, bw = csr.n_buckets, csr.bucket_width
+    n_vertices = csr.n_vertices
+    block_dir = csr.block_dir
+    bucket_edges = np.arange(1, nb + 1, dtype=np.int64) * bw
+
+    out_cols = ("kind", "bucket", "pay1", "pay2", "l1", "active", "nrows")
+
+    def make_udf(iteration: int):
+        # single-input grouped UDF (state + message rows share the schema,
+        # keyed by target bucket): ONE exchange per superstep, rows split
+        # by `kind` python-side. Message ids ship as BUCKET-LOCAL int32
+        # (25% fewer message bytes than global int64).
+        def udf(key, pdf: pd.DataFrame):
+            if os.environ.get("GDS_FUSED_PROFILE"):
+                import cProfile
+                import pstats
+
+                prof = cProfile.Profile()
+                prof.enable()
+                try:
+                    return _udf_body(key, pdf)
+                finally:
+                    prof.disable()
+                    with open(
+                        f"/tmp/gds_prof_{os.getpid()}.txt", "a"
+                    ) as fh:
+                        st = pstats.Stats(prof, stream=fh)
+                        st.sort_stats("cumulative").print_stats(12)
+            return _udf_body(key, pdf)
+
+        def _udf_body(key, pdf: pd.DataFrame):
+            bucket = int(key[0])
+            base = bucket * bw
+            width = min(bw, n_vertices - base)
+            if width <= 0:
+                return pd.DataFrame({c: [] for c in out_cols})
+
+            def static(name, default=0.0):
+                return load_static(block_dir, name, bucket, bw, default)[
+                    :width
+                ]
+
+            if iteration == 1:
+                state = None
+                msg_vals = None
+                msg_mask = None
+            else:
+                kinds = pdf["kind"].to_numpy()
+                sidx = np.nonzero(kinds == 0)[0]
+                if len(sidx) == 0:
+                    return pd.DataFrame({c: [] for c in out_cols})
+                srow = pdf.iloc[int(sidx[0])]
+                state = (
+                    np.frombuffer(srow["pay1"], dtype=np.float64).copy(),
+                    np.frombuffer(srow["pay2"], dtype=np.float64).copy(),
+                )
+                p1 = pdf["pay1"].to_numpy()
+                p2 = pdf["pay2"].to_numpy()
+                midx = np.nonzero(kinds == 1)[0]
+                vs = [np.frombuffer(p1[i], dtype=np.int32) for i in midx]
+                ms = [np.frombuffer(p2[i], dtype=np.float64) for i in midx]
+                if vs:
+                    allv = np.concatenate(vs) if len(vs) > 1 else vs[0]
+                    allm = np.concatenate(ms) if len(ms) > 1 else ms[0]
+                else:
+                    allv = np.empty(0, np.int32)
+                    allm = np.empty(0, np.float64)
+                # bincount is the vectorized combine (np.add.at is a
+                # scalar loop ~100 ns/element — it alone dominated python
+                # CPU at 145M-edge scale)
+                cnt = np.bincount(allv, minlength=width).astype(np.float64)
+                if reducer == "sum":
+                    acc = np.bincount(allv, weights=allm, minlength=width)
+                elif reducer == "count":
+                    acc = cnt.copy()
+                else:
+                    # min/max: sort by target, segment-reduce
+                    if reducer == "min":
+                        acc = np.full(width, np.inf)
+                        red = np.minimum
+                    else:
+                        acc = np.full(width, -np.inf)
+                        red = np.maximum
+                    if len(allv):
+                        order = np.argsort(allv, kind="stable")
+                        sv = allv[order]
+                        sm = allm[order]
+                        starts = np.nonzero(
+                            np.r_[True, sv[1:] != sv[:-1]]
+                        )[0]
+                        acc[sv[starts]] = red.reduceat(sm, starts)
+                msg_mask = cnt > 0
+                msg_vals = acc
+
+            new_state, send, l1, active = compute(
+                bucket, iteration, state, msg_vals, msg_mask, static
+            )
+            rows = {c: [] for c in out_cols}
+            rows["kind"].append(0)
+            rows["bucket"].append(bucket)
+            rows["pay1"].append(new_state[0].tobytes())
+            rows["pay2"].append(new_state[1].tobytes())
+            rows["l1"].append(float(l1))
+            rows["active"].append(int(active))
+            rows["nrows"].append(width)
+
+            if send is not None:
+                n_nan = int(np.isnan(send).sum())
+                if n_nan < len(send):
+                    all_sent = n_nan == 0 and not use_weights
+                    for chunk in load_bucket_chunks(block_dir, bucket):
+                        src_ids, dst_ids, dst_offsets, src_idx, weights = chunk
+                        per_edge = send[src_ids - base][src_idx]
+                        if use_weights:
+                            per_edge = per_edge * weights
+                            per_edge[~np.isfinite(per_edge)] = np.nan
+                        starts = dst_offsets[:-1]
+                        if all_sent:
+                            # fast path (every vertex sends — the common
+                            # case for power iterations before the
+                            # frontier thins): skip the sent-mask and its
+                            # three O(E) temporaries entirely
+                            if reducer == "sum":
+                                accm = np.add.reduceat(per_edge, starts)
+                            elif reducer == "count":
+                                accm = np.diff(dst_offsets).astype(
+                                    np.float64
+                                )
+                            elif reducer == "min":
+                                accm = np.minimum.reduceat(
+                                    per_edge, starts
+                                )
+                            else:
+                                accm = np.maximum.reduceat(
+                                    per_edge, starts
+                                )
+                            verts = dst_ids
+                            vals = accm
+                        else:
+                            sent = ~np.isnan(per_edge)
+                            if not sent.any():
+                                continue
+                            cnts = np.add.reduceat(
+                                sent.astype(np.float64), starts
+                            )
+                            touched = cnts > 0
+                            if reducer == "sum":
+                                accm = np.add.reduceat(
+                                    np.where(sent, per_edge, 0.0), starts
+                                )
+                            elif reducer == "count":
+                                accm = cnts
+                            elif reducer == "min":
+                                accm = np.minimum.reduceat(
+                                    np.where(sent, per_edge, np.inf),
+                                    starts,
+                                )
+                            else:
+                                accm = np.maximum.reduceat(
+                                    np.where(sent, per_edge, -np.inf),
+                                    starts,
+                                )
+                            verts = dst_ids[touched]
+                            vals = accm[touched]
+                        # vectorized bucket-local id conversion: one mod
+                        # + one astype over the whole array, then slice
+                        verts_local = (verts % bw).astype(np.int32)
+                        cut = np.searchsorted(verts, bucket_edges)
+                        lo = 0
+                        for b in range(nb):
+                            hi = cut[b]
+                            if hi > lo:
+                                rows["kind"].append(1)
+                                rows["bucket"].append(b)
+                                rows["pay1"].append(
+                                    verts_local[lo:hi].tobytes()
+                                )
+                                rows["pay2"].append(vals[lo:hi].tobytes())
+                                rows["l1"].append(0.0)
+                                rows["active"].append(0)
+                                rows["nrows"].append(int(hi - lo))
+                            lo = hi
+            return pd.DataFrame(rows)
+
+        return udf
+
+    from pyspark.sql import Observation
+
+    jsc = spark.sparkContext._jsc
+
+    def _persistent_ids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _unpersist(ids: set) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    ckpt_history: list[set] = []
+    start_iter = 1
+    cur = None
+    if checkpoint is not None:
+        resumed = checkpoint.latest_complete()
+        if resumed is not None:
+            it0, cur = resumed
+            start_iter = it0 + 1
+    if cur is None:
+        cur = spark.range(nb).select(
+            F.lit(0).alias("kind"),
+            F.col("id").cast("int").alias("bucket"),
+            F.lit(b"").alias("pay1"),
+            F.lit(b"").alias("pay2"),
+            F.lit(0.0).alias("l1"),
+            F.lit(0).cast("long").alias("active"),
+            F.lit(0).cast("long").alias("nrows"),
+        )
+
+    all_metrics: list[dict] = []
+    converged = False
+    ran = max_iterations
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def _obs_metrics(obs_name: str):
+        return (
+            F.sum(
+                F.when(F.col("kind") == 0, F.col("l1")).otherwise(0.0)
+            ).alias("l1"),
+            F.sum(
+                F.when(F.col("kind") == 0, F.col("active")).otherwise(0)
+            ).alias("active"),
+            F.sum(
+                F.when(F.col("kind") == 0, F.col("nrows")).otherwise(0)
+            ).alias("rows"),
+        )
+
+    try:
+        t = start_iter
+        chunk_no = 0
+        while t <= max_iterations and not converged:
+            chunk_no += 1
+            todo = min(chunk_size, max_iterations - t + 1)
+            # chain `todo` supersteps lazily: intermediate message blobs
+            # live only in shuffle files, never in the block manager; each
+            # superstep still gets its own Observation.
+            observations: list[tuple[int, object]] = []
+            with Timer() as timer:
+                for i in range(todo):
+                    it = t + i
+                    out = cur.groupby("bucket").applyInPandas(
+                        make_udf(it), FUSED_SCHEMA
+                    )
+                    obs = Observation(f"fused_{it}_{chunk_no}")
+                    out = out.observe(obs, *_obs_metrics(f"fused_{it}"))
+                    observations.append((it, obs))
+                    cur = out
+                if checkpoint is not None:
+                    cur = checkpoint.write_state(cur, t + todo - 1)
+                else:
+                    before = _persistent_ids()
+                    cur = loop_checkpoint(cur, chunk_no)
+                    ckpt_history.append(_persistent_ids() - before)
+                    if len(ckpt_history) > 2:
+                        _unpersist(ckpt_history.pop(0))
+            per_ss = timer.elapsed / todo
+            for it, obs in observations:
+                got = obs.get
+                metrics = {
+                    "iteration": it,
+                    "rows": int(got["rows"] or 0),
+                    "l1": float(got["l1"] or 0.0),
+                    "active": int(got["active"] or 0),
+                    "wall_time": per_ss,
+                }
+                all_metrics.append(metrics)
+                if checkpoint is not None:
+                    checkpoint.write_lineage(
+                        it, [(0, metrics["rows"], metrics["l1"])], per_ss
+                    )
+                if metrics["active"] == 0 or (
+                    converged_fn is not None and converged_fn(metrics)
+                ):
+                    # convergence detected at chunk granularity: state is
+                    # the chunk-end state; ran reports the detecting step
+                    converged = True
+                    ran = it
+                    break
+            t += todo
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+    return FusedResult(
+        state=cur.filter(F.col("kind") == 0),
+        ran_iterations=ran,
+        converged=converged,
+        metrics=all_metrics,
+        bucket_width=bw,
+    )

@@ -60,6 +60,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Python workers fork from the JVM, which inherits this process' env:
+    # pin glibc so workers don't munmap/refault ~100 MB of numpy
+    # temporaries between tasks (measured: worker CPU inflates >2x under
+    # high task concurrency without this).
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
@@ -84,6 +91,10 @@ def get_spark(
         # autodetection thrash on tiny intermediate frames
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # iterative loops orphan shuffle files every superstep; the
+        # ContextCleaner only fires on driver GC, which a large mostly-
+        # idle heap may not do for a long time — force a periodic sweep
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
