@@ -75,17 +75,20 @@ _TYPE_WIDTHS = {
 }
 
 
-def estimate(graph: Graph, *, doubles_per_node: int = 2) -> dict:
-    """Memory estimate à la gds.*.estimate: node/rel counts × widths."""
-    n, m = graph.node_count(), graph.relationship_count()
-    node_bytes = n * (8 + 8 * doubles_per_node)
-    rel_bytes = m * (8 + 8 + 8)
-    return {
-        "nodeCount": n,
-        "relationshipCount": m,
-        "bytesMin": node_bytes + rel_bytes,
-        "bytesMax": int((node_bytes + rel_bytes) * 1.5),
-        "description": (
-            f"{n} nodes x {8 + 8 * doubles_per_node}B state + {m} rels x 24B"
-        ),
-    }
+def estimate(
+    graph: Graph, algorithm: str | None = None, **config
+) -> dict:
+    """Memory estimate à la gds.<algo>.estimate.
+
+    With ``algorithm`` given, delegates to the per-algorithm estimation
+    trees (``estimation.estimate_algorithm`` — ref per-algo factories via
+    core/.../mem/MemoryEstimations.java:167-290). Without it, falls back
+    to the generic pregel-state model."""
+    from .estimation import estimate_graph
+
+    if algorithm is None:
+        algorithm = "pregel"
+        config.setdefault(
+            "state_doubles", config.pop("doubles_per_node", 2)
+        )
+    return estimate_graph(graph, algorithm, **config)
