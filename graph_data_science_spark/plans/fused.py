@@ -369,6 +369,14 @@ def run_fused(
                 p1 = pdf["pay1"].to_numpy()
                 p2 = pdf["pay2"].to_numpy()
                 midx = np.nonzero(kinds == 1)[0]
+                # deterministic combine order: message rows arrive in
+                # shuffle order (run-dependent); float summation is not
+                # associative, so sort by sender bucket (carried in the
+                # `active` column of kind-1 rows) for byte-identical
+                # results across runs and checkpoint resumes
+                if len(midx) > 1:
+                    senders = pdf["active"].to_numpy()[midx]
+                    midx = midx[np.argsort(senders, kind="stable")]
                 vs = [np.frombuffer(p1[i], dtype=np.int32) for i in midx]
                 ms = [np.frombuffer(p2[i], dtype=np.float64) for i in midx]
                 if vs:
@@ -489,7 +497,9 @@ def run_fused(
                                 )
                                 rows["pay2"].append(vals[lo:hi].tobytes())
                                 rows["l1"].append(0.0)
-                                rows["active"].append(0)
+                                # sender bucket: the deterministic
+                                # combine-order key on the receive side
+                                rows["active"].append(bucket)
                                 rows["nrows"].append(int(hi - lo))
                             lo = hi
             return pd.DataFrame(rows)

@@ -64,6 +64,41 @@ def test_fused_personalized_with_tolerance_frontier(spark):
     assert max(abs(classic[k] - fused.get(k, 0.0)) for k in classic) < 1e-9
 
 
+def test_fused_checkpoint_resume_identical(spark, tmp_path):
+    """North-rule resume: a fused run interrupted mid-convergence resumes
+    from the checkpoint store and lands byte-identical to an
+    uninterrupted run, with per-superstep lineage rows recorded."""
+    from graph_data_science_spark.plans.checkpoint import CheckpointStore
+
+    g, n = _graph(spark, seed=7)
+    csr = build_bucketed_csr(g.edges, n, n_buckets=4)
+    expected = {
+        r["internal_id"]: r["score"]
+        for r in pagerank(
+            g, tolerance=0.0, max_iterations=12, csr=csr
+        ).scores.collect()
+    }
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    part1 = pagerank(
+        g, tolerance=0.0, max_iterations=6, csr=csr, checkpoint=store
+    )
+    assert part1.ran_iterations == 6
+    part2 = pagerank(
+        g, tolerance=0.0, max_iterations=12, csr=csr, checkpoint=store
+    )
+    resumed = {
+        r["internal_id"]: r["score"] for r in part2.scores.collect()
+    }
+    assert resumed == expected  # byte-identical doubles
+    lin = store.lineage()
+    its = sorted(
+        r["iteration"] for r in lin.select("iteration").distinct().collect()
+    )
+    assert its == list(range(1, 13))
+    cols = set(lin.columns)
+    assert {"iteration", "rows", "delta_norm", "wall_time"} <= cols
+
+
 def test_fused_l1_convergence_and_metrics(spark):
     g, n = _graph(spark, seed=5)
     csr = build_bucketed_csr(g.edges, n, n_buckets=4)
