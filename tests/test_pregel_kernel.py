@@ -114,3 +114,28 @@ def test_partition_count_invariance(spark):
     for other in outs[1:]:
         for k in outs[0]:
             assert outs[0][k] == pytest.approx(other[k], abs=1e-12)
+
+
+def test_100_superstep_soak(spark):
+    """Plan-stats soak: 100 forced supersteps must neither crash
+    (BigInteger stats overflow at ~25 without loop_checkpoint's rebuild)
+    nor slow down super-linearly, on both kernels."""
+    from graph_data_science_spark.plans.fused import build_bucketed_csr
+
+    g = from_edge_list(spark, EDGES, node_ids=NODES)
+    out = pagerank(g, tolerance=0.0, max_iterations=100)
+    assert out.ran_iterations == 100 and not out.converged
+    # classic kernel: the init superstep emits no metric row (supersteps
+    # 1..99 observed); the fused kernel observes all 100
+    assert len(out.metrics) == 99
+
+    csr = build_bucketed_csr(g.edges, g.node_count(), n_buckets=2)
+    fused = pagerank(
+        g, tolerance=0.0, max_iterations=100, csr=csr, chunk_size=10
+    )
+    assert fused.ran_iterations == 100
+    # both kernels agree after 100 identical power-iteration steps
+    a = {r["internal_id"]: r["score"] for r in out.scores.collect()}
+    b = {r["internal_id"]: r["score"] for r in fused.scores.collect()}
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+    csr.cleanup()
