@@ -1,11 +1,13 @@
 """KNN over node property vectors (gds.beta.knn, gds.alpha.ml.ann).
 
-The reference's NN-Descent (similarity/knn/Knn.java:45-244) is an
-iterative neighbor-of-neighbor refinement. On Spark, random-hyperplane
-LSH bucketing (+ optional refinement rounds) reaches the same
-approximate-top-k contract with shuffle-join mechanics; the exact
-brute-force path is the correctness baseline. Both reuse
-``pipeline.ann`` kernels over the vertex property column.
+Three methods over ``pipeline.ann`` kernels:
+
+- ``method="nn_descent"`` (default): the reference's NN-Descent
+  (similarity/knn/Knn.java:45-244) — LSH-seeded kNN graph iteratively
+  refined through neighbor-of-neighbor joins until the update count
+  drops below delta·n·k, matching the reference's termination.
+- ``method="lsh"``: one-shot random-hyperplane bucketing (cheapest).
+- ``exact=True``: brute-force — the correctness baseline.
 """
 
 from __future__ import annotations
@@ -13,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
-from ..pipeline.ann import cosine_topk_bruteforce, cosine_topk_lsh
+from ..pipeline.ann import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    nn_descent_topk,
+)
 
 
 def knn(
@@ -22,6 +28,9 @@ def knn(
     *,
     top_k: int = 10,
     exact: bool = False,
+    method: str = "nn_descent",
+    iterations: int = 10,
+    delta: float = 0.001,
     bits: int = 8,
     tables: int = 4,
     seed: int = 5,
@@ -31,9 +40,17 @@ def knn(
         F.col("internal_id").alias("vec_id"),
         F.col(property_name).alias("embedding"),
     )
-    fn = cosine_topk_bruteforce if exact else cosine_topk_lsh
-    kwargs = {} if exact else {"bits": bits, "tables": tables, "seed": seed}
-    out = fn(emb, k=top_k, **kwargs)
+    if exact:
+        out = cosine_topk_bruteforce(emb, k=top_k)
+    elif method == "nn_descent":
+        out = nn_descent_topk(
+            emb, k=top_k, iterations=iterations, delta=delta,
+            bits=bits, tables=min(tables, 2), seed=seed,
+        )
+    else:
+        out = cosine_topk_lsh(
+            emb, k=top_k, bits=bits, tables=tables, seed=seed
+        )
     return out.select(
         F.col("vec_id").alias("node1"),
         F.col("neighbor_id").alias("node2"),

@@ -225,3 +225,192 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def nn_descent_topk(
+    emb: DataFrame,
+    *,
+    k: int = 10,
+    iterations: int = 10,
+    delta: float = 0.001,
+    bits: int = 8,
+    tables: int = 2,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NN-Descent (ref similarity/knn/Knn.java:45-244): iterative
+    neighbor-of-neighbor refinement of an approximate kNN graph.
+
+    Spark formulation: seed the kNN graph with one cheap LSH pass, then
+    per round (1) take the UNDIRECTED current neighborhood (forward +
+    reverse edges — the reference's new/old neighbor lists collapse into
+    one symmetric candidate source under set-semantics joins), (2)
+    propose neighbors-of-neighbors through a self-join on the shared
+    middle vertex (≤ (2k)² candidate ids per node, ids only — vectors are
+    re-joined after dedup), (3) score and merge with the current graph,
+    keep top-k. Converges when fewer than ``delta × n × k`` neighbor
+    entries changed in a round, like the reference's updateCount
+    termination.
+
+    Cost per round: the middle-join is Σ_v undirected-deg(v)² ≤ n·(2k)²
+    candidate rows — independent of dimension until scoring, linear in n
+    for fixed k. All joins are hash-partitioned equi-joins.
+    """
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    n_total = vecs.count()
+
+    # Seed graph = LSH candidates (good when buckets are dense) UNION a
+    # deterministic k-regular hash-ring (the reference's random-neighbor
+    # init — guarantees every node starts with k candidates even where
+    # LSH buckets are singletons, without which refinement cannot
+    # bootstrap). Ring ranks come from dense_ids (scalable global rank).
+    from ..graph import dense_ids
+
+    import random as _random
+
+    rnd = _random.Random(seed)
+    offsets: list[int] = []
+    while len(offsets) < min(k, max(n_total - 1, 1)):
+        off = rnd.randrange(1, max(n_total, 2))
+        if off not in offsets:
+            offsets.append(off)
+    ranked = dense_ids(vecs.select("vec_id"), "vec_id", out_col="__rank")
+    ring = ranked.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.lit(o) for o in offsets])
+        ).alias("__off"),
+        "__rank",
+    ).select(
+        "vec_id",
+        F.pmod(F.col("__rank") + F.col("__off"), F.lit(n_total)).alias(
+            "__nrank"
+        ),
+    ).join(
+        ranked.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("__rank").alias("__nrank"),
+        ),
+        "__nrank",
+    ).select("vec_id", "neighbor_id").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    ring_scored = (
+        ring.join(vecs.withColumnRenamed("v", "va"), "vec_id")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (_dot("va", "vb") / (_norm_col("va") * _norm_col("vb"))
+             ).alias("cosine"),
+        )
+    )
+    lsh_seed = cosine_topk_lsh(
+        emb, k=k, bits=bits, tables=tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    ).select("vec_id", "neighbor_id", "cosine")
+    w0 = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    cur = (
+        lsh_seed.unionByName(ring_scored)
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("__rn", F.row_number().over(w0))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    for _round in range(iterations):
+        und = cur.select("vec_id", "neighbor_id").unionByName(
+            cur.select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.col("vec_id").alias("neighbor_id"),
+            )
+        ).distinct()
+        left = und.select(F.col("vec_id"), F.col("neighbor_id").alias("mid"))
+        right = und.select(
+            F.col("vec_id").alias("mid"), F.col("neighbor_id")
+        )
+        nn_cand = (
+            left.join(right, "mid")
+            .select("vec_id", "neighbor_id")
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+        )
+        # randomJoins (ref KnnBaseConfig.randomJoins, default 10): a few
+        # iteration-varying ring candidates per node break the local
+        # optima a pure neighbor-of-neighbor walk converges into when k
+        # is small
+        rj_offsets = [
+            rnd.randrange(1, max(n_total, 2)) for _ in range(min(4, k + 1))
+        ]
+        random_joins = ranked.select(
+            "vec_id",
+            F.explode(
+                F.array(*[F.lit(o) for o in rj_offsets])
+            ).alias("__off"),
+            "__rank",
+        ).select(
+            "vec_id",
+            F.pmod(
+                F.col("__rank") + F.col("__off"), F.lit(n_total)
+            ).alias("__nrank"),
+        ).join(
+            ranked.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("__rank").alias("__nrank"),
+            ),
+            "__nrank",
+        ).select("vec_id", "neighbor_id").filter(
+            F.col("vec_id") != F.col("neighbor_id")
+        )
+        cand = (
+            nn_cand.unionByName(random_joins)
+            .distinct()
+            # don't re-score pairs already in the graph
+            .join(
+                cur.select("vec_id", "neighbor_id"),
+                ["vec_id", "neighbor_id"],
+                "left_anti",
+            )
+        )
+        scored = (
+            cand.join(vecs.withColumnRenamed("v", "va"), "vec_id")
+            .join(
+                vecs.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("vb"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "vec_id",
+                "neighbor_id",
+                (_dot("va", "vb") / (_norm_col("va") * _norm_col("vb"))
+                 ).alias("cosine"),
+            )
+        )
+        nxt = (
+            cur.unionByName(scored)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.join(
+            cur, ["vec_id", "neighbor_id"], "left_anti"
+        ).count()
+        cur = nxt
+        if changed <= delta * n_total * k:
+            break
+    return cur

@@ -86,3 +86,35 @@ def test_knn_over_vertex_vectors(spark):
         1 for r in approx if r["node2"] == int(np.argmax(S[r["node1"]]))
     )
     assert hits / 30 > 0.5
+
+
+def test_knn_nn_descent_beats_lsh_seed(spark):
+    """NN-Descent refinement: recall@k strictly dominates its own LSH
+    seeding and lands near-exact on a small set."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    n, d, k = 60, 12, 3
+    vecs = rng.standard_normal((n, d))
+    from graph_data_science_spark.pipeline.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+        nn_descent_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    def pairs(df):
+        return {(r["vec_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(cosine_topk_bruteforce(emb, k=k))
+    seed = pairs(cosine_topk_lsh(emb, k=k, bits=8, tables=2, seed=5))
+    refined = pairs(
+        nn_descent_topk(emb, k=k, iterations=8, bits=8, tables=2, seed=5)
+    )
+    recall_seed = len(seed & exact) / len(exact)
+    recall_ref = len(refined & exact) / len(exact)
+    assert recall_ref >= recall_seed
+    assert recall_ref > 0.9
