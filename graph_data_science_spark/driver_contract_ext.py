@@ -714,9 +714,15 @@ pos AS (SELECT osrc AS src_id, odst AS dst_id FROM ie
         WHERE (src * 2654435761 + dst * 40503 + {s * 97}) % {mod} < {cut}),
 npos AS (SELECT COUNT(*) AS k FROM pos),
 cand AS (
+  -- squared-LCG negative endpoints (mirrors mlops.split_relationships:
+  -- h = i*a + b mod 2^31-1, endpoint = h*h mod 2^31-1 mod n)
   SELECT DISTINCT
-    (i * 1103515245 + {12345 + s}) % (SELECT n FROM n) AS src,
-    (i * 69069 + {1 + s}) % (SELECT n FROM n) AS dst
+    (((i * 48271 + {12345 + s * 7919}) % 2147483647)
+     * ((i * 48271 + {12345 + s * 7919}) % 2147483647) % 2147483647)
+      % (SELECT n FROM n) AS src,
+    (((i * 69621 + {54321 + s * 104729}) % 2147483647)
+     * ((i * 69621 + {54321 + s * 104729}) % 2147483647) % 2147483647)
+      % (SELECT n FROM n) AS dst
   FROM range(0, 5000000) t(i)
   WHERE i < (SELECT CAST(k * 2.5 AS BIGINT) + 8 FROM npos)),
 neg0 AS (
@@ -997,7 +1003,8 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import Graph
 
     g = Graph(emb, spark.createDataFrame([], "src long, dst long"))
-    return knn(g, "vec", top_k=3)
+    # bounded refinement for the driver gate (quality tested in pytest)
+    return knn(g, "vec", top_k=3, iterations=3)
 
 
 def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,6 +1197,138 @@ SELECT id, 16 AS dim FROM nodes
 """
 
 
+# ---------------------------------------------------------------------------
+# GraphSage + ML training pipelines (round-2 closing of the last two
+# SURVEY §2 families: gds.beta.graphSage.*, gds.alpha.ml.nodeClassification,
+# gds.alpha.ml.linkPrediction). Trained weights are seeded-numpy /
+# L-BFGS-specific, so the oracles pin the exact invariants instead:
+# totality+dim for graphSage, the (arithmetically separable) decision rule
+# for NC, and the hash-split arithmetic + structural flags for LP.
+# ---------------------------------------------------------------------------
+def q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.gnn import graphsage_predict, graphsage_train
+
+    g = _graph_mod(spark, sf_dir)
+    model = graphsage_train(
+        g, feature_cols=None, embedding_dim=8, sample_sizes=[4, 2],
+        batch_size=32, epochs=2, seed=42,
+    )
+    emb = graphsage_predict(g, model)
+    return _to_original(emb, g.vertices, "internal_id", "id").select(
+        "id", F.size("embedding").alias("dim")
+    )
+
+
+def sql_graphsage() -> str:
+    # weights are seeded-numpy-specific; the oracle pins TOTALITY + dim:
+    # predict streams one embedding of the requested dim per node
+    return f"""
+WITH
+{_mod_header()}
+SELECT id, 8 AS dim FROM nodes
+"""
+
+
+def q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on suppliers with an arithmetically-separable label
+    (s_acctbal > 4500, margin-1 indicator feature + a noise feature);
+    the fitted model must reproduce the rule exactly on every node."""
+    from .graph import Graph
+    from .operators.mlpipe import (
+        node_classification_predict,
+        node_classification_train,
+    )
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("internal_id"),
+        (F.col("s_acctbal") > 4500).cast("double").alias("sig"),
+        F.col("s_nationkey").cast("double").alias("noise"),
+        (F.col("s_acctbal") > 4500).cast("long").alias("cls"),
+    )
+    g = Graph(supp, spark.createDataFrame([], "src long, dst long"))
+    model = node_classification_train(
+        g, feature_cols=["sig", "noise"], target_col="cls",
+        params=[{"penalty": 0.0, "max_iterations": 200}],
+        metric="ACCURACY", seed=42,
+    )
+    return node_classification_predict(model, g).select(
+        F.col("internal_id").alias("id"),
+        F.col("predicted_class"),
+    )
+
+
+def sql_node_classification() -> str:
+    return """
+SELECT s_suppkey AS id,
+       CAST(CASE WHEN s_acctbal > 4500 THEN 1 ELSE 0 END AS BIGINT)
+         AS predicted_class
+FROM supplier
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LP pipeline over the MOD graph (supplier features joined in).
+
+    Oracle-checkable facts: the deterministic hash-split positive count,
+    plus structural flags — AUCPR produced, every predicted pair a
+    non-edge. (The AUCPR VALUE is optimizer-specific; quality is pinned
+    by pytest on a feature-correlated fixture.)"""
+    from .operators.mlpipe import (
+        link_prediction_predict,
+        link_prediction_train,
+    )
+
+    g = _graph_mod(spark, sf_dir)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("original_id"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nkey"),
+    )
+    g.vertices = g.vertices.join(supp, "original_id", "left").fillna(
+        {"acctbal": 0.0, "nkey": 0.0}
+    )
+    from .operators.mlops import split_relationships
+
+    _rem, test = split_relationships(
+        g, holdout_fraction=0.3, negative_sampling_ratio=1.0, seed=42
+    )
+    n_pos = test.filter(F.col("label") == 1).count()
+    model = link_prediction_train(
+        g, feature_cols=["acctbal", "nkey"], combiner="HADAMARD",
+        params=[{"penalty": 0.0}], holdout_fraction=0.3, seed=42,
+    )
+    auc = model.metrics["test"]["AUCPR"]
+    pred = link_prediction_predict(model, g, top_n=50)
+    edge_set = g.edges.select("src", "dst")
+    violations = pred.join(
+        edge_set, ["src", "dst"], "inner"
+    ).count()
+    return spark.createDataFrame(
+        [(n_pos, bool(auc > 0.0), int(violations))],
+        "test_positives long, auc_produced boolean, predict_violations long",
+    )
+
+
+def sql_link_prediction() -> str:
+    # replicate the portable arithmetic split hash on dense internal ids
+    # (row_number over ascending original id): holdout iff
+    # (src*2654435761 + dst*40503 + 42*97) % 1000003 < 300000
+    return f"""
+WITH
+{_mod_header()},
+dense AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS iid
+          FROM nodes),
+mapped AS (SELECT a.iid AS src, b.iid AS dst
+           FROM edges e
+           JOIN dense a ON a.id = e.src JOIN dense b ON b.id = e.dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS test_positives,
+       TRUE AS auc_produced,
+       CAST(0 AS BIGINT) AS predict_violations
+FROM mapped
+WHERE (src * 2654435761 + dst * 40503 + 42 * 97) % 1000003 < 300000
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -1219,6 +1358,10 @@ def ext_queries() -> dict:
         "node2vec": q_node2vec,
         "spanning_tree": q_spanning_tree,
         "influence_celf": q_influence_celf,
+        # GraphSage + ML pipelines (invariant oracles)
+        "graphsage": q_graphsage,
+        "node_classification": q_node_classification,
+        "link_prediction": q_link_prediction,
         # structural-validity entries (exact oracles for the invariants)
         "k1coloring_validity": q_k1coloring_validity,
         "louvain_validity": q_louvain_validity,
@@ -1250,4 +1393,7 @@ def ext_oracle_sql() -> dict:
         "spanning_tree_validity": sql_spanning_tree_validity(),
         "fastrp": sql_fastrp(),
         "node2vec": sql_node2vec(),
+        "graphsage": sql_graphsage(),
+        "node_classification": sql_node_classification(),
+        "link_prediction": sql_link_prediction(),
     }

@@ -214,6 +214,42 @@ def _estimators() -> dict:
             _csr(n, m),
         ])
 
+    def graphsage(n, m, c):
+        dim = c.get("embedding_dim", 64)
+        layers = len(c.get("sample_sizes", [25, 10]))
+        batch = c.get("batch_size", 256)
+        fanout = 1
+        for s in c.get("sample_sizes", [25, 10]):
+            fanout *= s
+        return _tree("graphSage", [
+            ("layer weights (2 matrices/layer)",
+             layers * 2 * dim * dim * 8, layers * 2 * dim * dim * 8),
+            ("embeddings (one layer live)", n * dim * 8, 2 * n * dim * 8),
+            ("neighbor-mean messages", 0, m * dim * 8),
+            ("driver minibatch subgraph", batch * fanout * dim * 8,
+             batch * fanout * dim * 8),
+        ])
+
+    def node_classification(n, m, c):
+        f = c.get("n_features", 8)
+        classes = c.get("n_classes", 2)
+        return _tree("nodeClassification", [
+            ("feature vectors", n * f * 8, n * f * 8),
+            ("L-BFGS state (10 corrections)", 10 * f * classes * 8,
+             10 * f * classes * 8),
+            ("prediction frame", n * (8 + classes * 8),
+             n * (8 + classes * 8)),
+        ])
+
+    def link_prediction(n, m, c):
+        f = c.get("n_features", 8)
+        cand = c.get("max_candidates_per_node", 50)
+        return _tree("linkPrediction", [
+            ("pair features (train+test splits)", m * f * 8, 2 * m * f * 8),
+            ("L-BFGS state", 10 * f * 8, 10 * f * 8),
+            ("candidate wedge pairs (capped)", 0, n * cand * 24),
+        ])
+
     return {
         "pagerank": pagerank, "article_rank": pagerank,
         "eigenvector": pagerank, "wcc": wcc,
@@ -224,7 +260,9 @@ def _estimators() -> dict:
         "node2vec": node2vec, "closeness": closeness, "harmonic": closeness,
         "sssp": sssp, "dijkstra": sssp, "scc": scc,
         "k1coloring": k1coloring, "hits": hits, "knn": knn,
-        "pregel": pregel,
+        "pregel": pregel, "graphsage": graphsage,
+        "node_classification": node_classification,
+        "link_prediction": link_prediction,
     }
 
 

@@ -83,16 +83,25 @@ def split_relationships(
     n_pos = holdout.count()
     n_neg = int(n_pos * negative_sampling_ratio)
     n = graph.node_count()
+    # Negative endpoints via SQUARED LCGs: two plain linear sequences in i
+    # are always correlated mod small divisors of n (e.g. multipliers both
+    # ≡ 0 mod 7 collapse all pairs onto cosets of 7Z for 7 | n — a real
+    # degenerate-negatives bug caught by the LP pipeline tests). Squaring
+    # mod the Mersenne prime 2^31−1 destroys the lattice structure while
+    # staying exact int64 arithmetic (h < 2^31 so h² < 2^62) and
+    # SQL-expressible for the oracle.
+    _P = 2_147_483_647
+    h1 = F.pmod(
+        F.col("id") * F.lit(48271) + F.lit(12345 + seed * 7919), F.lit(_P)
+    )
+    h2 = F.pmod(
+        F.col("id") * F.lit(69621) + F.lit(54321 + seed * 104729), F.lit(_P)
+    )
     cand = (
         graph.spark.range(int(n_neg * 2.5) + 8)
         .select(
-            F.pmod(
-                F.col("id") * F.lit(1103515245) + F.lit(12345 + seed),
-                F.lit(n),
-            ).alias("src"),
-            F.pmod(
-                F.col("id") * F.lit(69069) + F.lit(1 + seed), F.lit(n)
-            ).alias("dst"),
+            F.pmod(F.pmod(h1 * h1, F.lit(_P)), F.lit(n)).alias("src"),
+            F.pmod(F.pmod(h2 * h2, F.lit(_P)), F.lit(n)).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()

@@ -23,8 +23,10 @@ CSR layout reference (semantics only): core/.../core/huge/HugeGraph.java:56-90.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import os
+import shutil
 import tempfile
 from collections import OrderedDict
 from dataclasses import dataclass
@@ -32,6 +34,28 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+# Block dirs the library named itself (caller passed block_dir=None) are
+# swept at interpreter exit; explicitly-named dirs are the caller's to
+# manage. Long-lived sessions building many graphs should still call
+# .cleanup() eagerly — this is the backstop that keeps /tmp (or /dev/shm)
+# from accumulating one dir per ad-hoc graph (observed: 114 leaked dirs
+# across one round of test runs).
+_OWNED_BLOCK_DIRS: set = set()
+
+
+def _sweep_owned_block_dirs() -> None:
+    for d in _OWNED_BLOCK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_sweep_owned_block_dirs)
+
+
+def register_owned_block_dir(path: str) -> str:
+    _OWNED_BLOCK_DIRS.add(path)
+    return path
+
 
 BLOCK_SCHEMA = (
     "pid int, chunk int, n_src long, n_edges long, "
@@ -217,9 +241,9 @@ def build_csr_graph(
         if block_dir is None:
             import uuid
 
-            block_dir = os.path.join(
+            block_dir = register_owned_block_dir(os.path.join(
                 tempfile.gettempdir(), f"gds_csr_{uuid.uuid4().hex[:12]}"
-            )
+            ))
         # UNCOMPRESSED on purpose: the worker-side load memory-maps these
         # files (load_block: pyarrow memory_map=True + zero-copy buffer
         # views). With snappy (the default) every python worker would

@@ -107,9 +107,11 @@ def build_bucketed_csr(
     if block_dir is None:
         import uuid
 
-        block_dir = os.path.join(
+        from .csr import register_owned_block_dir
+
+        block_dir = register_owned_block_dir(os.path.join(
             _default_block_root(), f"gds_fcsr_{uuid.uuid4().hex[:12]}"
-        )
+        ))
 
     e = edges.select(
         (F.col("src") / bucket_width).cast("int").alias("pid"),

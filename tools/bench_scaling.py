@@ -82,8 +82,21 @@ def run(cpus: int, edges_path: str, iters: int, parts: int) -> dict:
         MALLOC_MMAP_MAX_="0",
         MALLOC_ARENA_MAX="2",
     )
+    cmd = [sys.executable, "-c", code]
+    if os.environ.get("BENCH_PIN_CORES"):
+        # Cap the whole process tree (JVM + python workers) to exactly
+        # `cpus` hardware cores. Without this, a local[N] run leaks onto
+        # extra cores — JVM GC/JIT/shuffle/netty threads plus the
+        # separate python worker processes all schedule freely on the
+        # 32-core host — inflating the small-N baseline and understating
+        # scaling efficiency. On a real N-executor cluster each executor
+        # is capped at its core count by the resource manager; taskset
+        # is the single-box equivalent. (Conservative in one respect:
+        # the driver shares the pinned set here but has its own node on
+        # a cluster.)
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        cmd,
         capture_output=True, text=True, check=True, env=env,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -201,6 +214,8 @@ worker CPU-seconds for identical work inflate ~5× at 32 concurrent
 workers (stall cycles), the signature of DRAM saturation rather than
 serialization or skew.
 """
+    if os.environ.get("BENCH_DRY"):  # experiment mode: don't touch BENCH.md
+        return
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 
