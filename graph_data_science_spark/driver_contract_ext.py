@@ -1329,6 +1329,55 @@ WHERE (src * 2654435761 + dst * 40503 + 42 * 97) % 1000003 < 300000
 """
 
 
+def q_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.allShortestPaths (unweighted MSBFS): one row per
+    (source, reachable target ≠ source) with hop distance."""
+    from .operators.allpaths import all_shortest_paths
+
+    g = _graph_mod(spark, sf_dir)
+    out = all_shortest_paths(g)
+    v = g.vertices
+    out = (
+        out.join(
+            v.select(
+                F.col("internal_id").alias("s"),
+                F.col("original_id").alias("source"),
+            ),
+            "s",
+        )
+        .join(
+            v.select(
+                F.col("internal_id").alias("target"),
+                F.col("original_id").alias("tgt"),
+            ),
+            "target",
+        )
+        .select(
+            F.col("source").cast("long").alias("source"),
+            F.col("tgt").cast("long").alias("target"),
+            "distance",
+        )
+    )
+    return out
+
+
+def sql_all_shortest_paths() -> str:
+    # depth cap 24 mirrors the closeness oracle (measured MOD-graph
+    # diameter ≲ 12; the cap only bounds DuckDB's recursion)
+    return f"""
+WITH RECURSIVE
+{_mod_header()},
+reach(s, v, dist) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION
+  SELECT r.s, e.dst, r.dist + 1 FROM reach r JOIN edges e ON e.src = r.v
+  WHERE r.dist < 24
+)
+SELECT s AS source, v AS target, CAST(MIN(dist) AS DOUBLE) AS distance
+FROM reach WHERE v != s GROUP BY s, v
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -1358,6 +1407,7 @@ def ext_queries() -> dict:
         "node2vec": q_node2vec,
         "spanning_tree": q_spanning_tree,
         "influence_celf": q_influence_celf,
+        "all_shortest_paths": q_all_shortest_paths,
         # GraphSage + ML pipelines (invariant oracles)
         "graphsage": q_graphsage,
         "node_classification": q_node_classification,
@@ -1393,6 +1443,7 @@ def ext_oracle_sql() -> dict:
         "spanning_tree_validity": sql_spanning_tree_validity(),
         "fastrp": sql_fastrp(),
         "node2vec": sql_node2vec(),
+        "all_shortest_paths": sql_all_shortest_paths(),
         "graphsage": sql_graphsage(),
         "node_classification": sql_node_classification(),
         "link_prediction": sql_link_prediction(),

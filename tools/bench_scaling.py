@@ -172,6 +172,19 @@ spark.stop()
             f"{b['eps_runs']} | {b['eps_median']:,} |\n"
         )
 
+    pinned = bool(os.environ.get("BENCH_PIN_CORES"))
+    pin_note = (
+        """Each run is `taskset`-pinned to exactly its core count (cores 0..N-1):
+unpinned, a local[N] JVM leaks GC/JIT/shuffle threads and its separate
+python worker processes onto the other 30 host cores, inflating the
+small-N baseline — on a real cluster the resource manager caps each
+executor at its core count, so pinning is the faithful single-box
+equivalent (conservative: the driver shares the pinned set here but has
+its own node on a cluster).
+"""
+        if pinned
+        else ""
+    )
     md = f"""# BENCH — scaling evidence (north rule)
 
 Same PageRank job (damping 0.85, tolerance 0, {main_pair['supersteps']} supersteps measured
@@ -182,6 +195,7 @@ medians reported. Kernel: fused blob-state Pregel — bucketed CSR blocks,
 one applyInPandas round-trip per superstep, supersteps chained
 {os.environ.get("BENCH_CHUNK", "5")}-deep per job so messages live only in shuffle files
 (`graph_data_science_spark/plans/fused.py`).
+{pin_note}
 
 ## Primary evidence: local[{n_small}] → local[{n_big}]
 
