@@ -7,7 +7,11 @@ source-code corpus' dependency graph.
 
 Env knobs:
 - SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (driver contract)
-- BENCH_CORPUS_REPOS  (default 120_000) — corpus size for the throughput run
+- BENCH_CORPUS_REPOS  (default 2_000_000) — corpus size for the throughput
+  run; ~29M edges. Small enough to build in ~1-2 min, large enough that
+  per-superstep work dominates fixed job-scheduling overhead (at the old
+  120k-repo/1.7M-edge default the kernel spent most of each superstep on
+  fixed costs and the reported edges/s understated the engine ~10×).
 - BENCH_PR_MAXITERS   (default 20)
 """
 
@@ -24,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    n_repos = int(os.environ.get("BENCH_CORPUS_REPOS", 120_000))
+    n_repos = int(os.environ.get("BENCH_CORPUS_REPOS", 2_000_000))
     pr_iters = int(os.environ.get("BENCH_PR_MAXITERS", 20))
 
     from graph_data_science_spark import driver_contract as dc

@@ -1378,6 +1378,210 @@ FROM reach WHERE v != s GROUP BY s, v
 """
 
 
+# ---------------------------------------------------------------------------
+# Validity siblings for the seeded-hash rows-only entries. Pattern: the
+# Spark side recomputes an INVARIANT over its own output (violation
+# counts, recall vs exact brute force) and the oracle pins the expected
+# constants — turning "rows-only" ops into real oracle-gated checks
+# without requiring DuckDB to reproduce xxhash64/LSH-plane arithmetic.
+# ---------------------------------------------------------------------------
+def q_knn_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN output invariants: every vector present, ≤k neighbors each, no
+    self pairs, cosine in [-1,1], and recall vs exact top-k at least 10×
+    the random-chance baseline (k/(n−1)).
+
+    Why lift, not absolute recall: the synthetic embeddings are isotropic
+    random vectors (measured at sf0.01: mean top-3 cosine 0.32 vs median
+    pair ≈ 0), so the true top-k is barely separated and NO approximate
+    method can reach high absolute recall — NN-Descent's
+    neighbor-of-neighbor premise needs metric structure. Absolute recall
+    on *clustered* fixtures is pinned in pytest; this gate asserts the
+    operator beats chance by an order of magnitude on the worst case."""
+    from .graph import Graph
+    from .operators.knn import knn
+    from .pipeline.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("internal_id"),
+        F.col("embedding").alias("vec"),
+    )
+    g = Graph(emb, spark.createDataFrame([], "src long, dst long"))
+    approx = knn(g, "vec", top_k=3, iterations=3).cache()
+    per_node = approx.groupBy("node1").count()
+    exact = cosine_topk_bruteforce(
+        emb.select(F.col("internal_id").alias("vec_id"),
+                   F.col("vec").alias("embedding")),
+        k=3,
+    ).select(F.col("vec_id").alias("node1"),
+             F.col("neighbor_id").alias("node2"))
+    hits = approx.join(exact, ["node1", "node2"], "inner").count()
+    n_exact = exact.count()
+    n = emb.count()
+    recall = hits / max(n_exact, 1)
+    chance = 3.0 / max(n - 1, 1)
+    return spark.createDataFrame(
+        [(
+            per_node.count(),
+            int(per_node.agg(F.max("count")).collect()[0][0]),
+            approx.filter(F.col("node1") == F.col("node2")).count(),
+            approx.filter(
+                (F.col("similarity") < -1.0000001)
+                | (F.col("similarity") > 1.0000001)
+            ).count(),
+            bool(recall >= 10.0 * chance),
+        )],
+        "n_nodes long, max_per_node long, self_pairs long, "
+        "oob_sims long, recall_lift_ge_10x boolean",
+    )
+
+
+def sql_knn_validity() -> str:
+    return """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(3 AS BIGINT) AS max_per_node,
+       CAST(0 AS BIGINT) AS self_pairs, CAST(0 AS BIGINT) AS oob_sims,
+       TRUE AS recall_lift_ge_10x
+FROM embeddings
+"""
+
+
+def q_ann_lsh_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN invariants: ≤k per node, no self pairs, cosine in [-1,1],
+    recall ≥ 10× chance vs exact top-k (seeded planes → deterministic).
+    Measured at sf0.01: 6.9% recall = exactly the theoretical 8-bit/
+    4-table collision rate for the isotropic synthetic vectors (mean
+    top-3 cosine 0.32 → per-table p ≈ (1−71°/180°)^8 ≈ 1.8%) — the
+    bucketing works as designed; flat data bounds absolute recall (see
+    q_knn_validity). Lift at sf0.01: ~11.5× chance."""
+    from .driver_contract import ANN_TOPK, _embeddings
+    from .pipeline.ann import cosine_topk_bruteforce, cosine_topk_lsh
+
+    emb = _embeddings(spark, sf_dir)
+    approx = cosine_topk_lsh(emb, k=ANN_TOPK).cache()
+    per_node = approx.groupBy("vec_id").count()
+    exact = cosine_topk_bruteforce(emb, k=ANN_TOPK).select(
+        "vec_id", "neighbor_id"
+    )
+    hits = approx.select("vec_id", "neighbor_id").join(
+        exact, ["vec_id", "neighbor_id"], "inner"
+    ).count()
+    n_exact = exact.count()
+    n = emb.count()
+    recall = hits / max(n_exact, 1)
+    chance = float(ANN_TOPK) / max(n - 1, 1)
+    return spark.createDataFrame(
+        [(
+            int(per_node.agg(F.max("count")).collect()[0][0]),
+            approx.filter(F.col("vec_id") == F.col("neighbor_id")).count(),
+            approx.filter(
+                (F.col("cosine") < -1.0000001)
+                | (F.col("cosine") > 1.0000001)
+            ).count(),
+            bool(recall >= 10.0 * chance),
+        )],
+        "max_per_node long, self_pairs long, oob_sims long, "
+        "recall_lift_ge_10x boolean",
+    )
+
+
+def sql_ann_lsh_validity() -> str:
+    return """
+SELECT CAST(3 AS BIGINT) AS max_per_node, CAST(0 AS BIGINT) AS self_pairs,
+       CAST(0 AS BIGINT) AS oob_sims, TRUE AS recall_lift_ge_10x
+"""
+
+
+def q_random_walk_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk invariants: 2 walks per node, and every consecutive step is a
+    real edge of the graph (0 invalid transitions)."""
+    from .operators.mlops import random_walks
+
+    g = _graph_mod(spark, sf_dir)
+    walks = random_walks(g, walks_per_node=2, walk_length=4).cache()
+    steps = walks.select(
+        "walk_id", F.posexplode("path").alias("pos", "node")
+    )
+    trans = steps.alias("a").join(
+        steps.alias("b"),
+        (F.col("a.walk_id") == F.col("b.walk_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.node").alias("src"), F.col("b.node").alias("dst")
+    )
+    bad = trans.join(
+        g.edges.select("src", "dst").distinct(), ["src", "dst"], "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [(walks.count(), int(bad))], "n_walks long, bad_steps long"
+    )
+
+
+def sql_random_walk_validity() -> str:
+    return f"""
+WITH
+{_mod_header()}
+SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_walks,
+       CAST(0 AS BIGINT) AS bad_steps
+FROM nodes
+"""
+
+
+def q_minhash_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate invariants: no self pairs, estimator in [0.3, 1],
+    every id a real document."""
+    from .driver_contract import NGRAM_N, _documents
+    from .pipeline.text import minhash_dedup
+
+    docs = _documents(spark, sf_dir)
+    out = minhash_dedup(docs, n=NGRAM_N, min_jaccard_est=0.3).cache()
+    ids = docs.select(F.col("doc_id").alias("d"))
+    unknown = (
+        out.select(F.col("doc1").alias("d"))
+        .unionByName(out.select(F.col("doc2").alias("d")))
+        .join(ids, "d", "left_anti")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(
+            out.filter(F.col("doc1") == F.col("doc2")).count(),
+            out.filter(
+                (F.col("jaccard_est") < 0.3) | (F.col("jaccard_est") > 1.0)
+            ).count(),
+            int(unknown),
+        )],
+        "self_pairs long, oob_est long, unknown_ids long",
+    )
+
+
+def sql_minhash_validity() -> str:
+    return """
+SELECT CAST(0 AS BIGINT) AS self_pairs, CAST(0 AS BIGINT) AS oob_est,
+       CAST(0 AS BIGINT) AS unknown_ids
+"""
+
+
+def q_simhash_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash invariants: exactly one signature per tokenizable doc, all
+    ids real documents."""
+    from .driver_contract import _documents
+    from .pipeline.text import simhash
+
+    docs = _documents(spark, sf_dir)
+    out = simhash(docs).cache()
+    unknown = out.join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    ).count()
+    n_rows = out.count()
+    n_distinct = out.select("doc_id").distinct().count()
+    return spark.createDataFrame(
+        [(bool(n_rows == n_distinct), int(unknown))],
+        "one_sig_per_doc boolean, unknown_ids long",
+    )
+
+
+def sql_simhash_validity() -> str:
+    return "SELECT TRUE AS one_sig_per_doc, CAST(0 AS BIGINT) AS unknown_ids"
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -1413,6 +1617,11 @@ def ext_queries() -> dict:
         "node_classification": q_node_classification,
         "link_prediction": q_link_prediction,
         # structural-validity entries (exact oracles for the invariants)
+        "knn_validity": q_knn_validity,
+        "ann_lsh_validity": q_ann_lsh_validity,
+        "random_walk_validity": q_random_walk_validity,
+        "minhash_validity": q_minhash_validity,
+        "simhash_validity": q_simhash_validity,
         "k1coloring_validity": q_k1coloring_validity,
         "louvain_validity": q_louvain_validity,
         "spanning_tree_validity": q_spanning_tree_validity,
@@ -1444,6 +1653,11 @@ def ext_oracle_sql() -> dict:
         "fastrp": sql_fastrp(),
         "node2vec": sql_node2vec(),
         "all_shortest_paths": sql_all_shortest_paths(),
+        "knn_validity": sql_knn_validity(),
+        "ann_lsh_validity": sql_ann_lsh_validity(),
+        "random_walk_validity": sql_random_walk_validity(),
+        "minhash_validity": sql_minhash_validity(),
+        "simhash_validity": sql_simhash_validity(),
         "graphsage": sql_graphsage(),
         "node_classification": sql_node_classification(),
         "link_prediction": sql_link_prediction(),

@@ -173,6 +173,14 @@ def _estimators() -> dict:
             ("bitmask OR shuffle", 0, m * 16),
         ])
 
+    def all_shortest_paths(n, m, c):
+        srcs = c.get("n_sources", n)
+        return _tree("allShortestPaths", [
+            ("MSBFS bitmasks (visited|frontier)", 2 * 8 * n, 2 * 8 * n),
+            ("emitted (source, target, dist) rows", 0, srcs * n * 24),
+            ("bitmask OR shuffle", 0, m * 16),
+        ])
+
     def sssp(n, m, c):
         return _tree("sssp", [
             ("distances + predecessor", 16 * n, 24 * n),
@@ -260,6 +268,7 @@ def _estimators() -> dict:
         "node2vec": node2vec, "closeness": closeness, "harmonic": closeness,
         "sssp": sssp, "dijkstra": sssp, "scc": scc,
         "k1coloring": k1coloring, "hits": hits, "knn": knn,
+        "all_shortest_paths": all_shortest_paths,
         "pregel": pregel, "graphsage": graphsage,
         "node_classification": node_classification,
         "link_prediction": link_prediction,
