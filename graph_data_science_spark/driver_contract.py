@@ -120,9 +120,17 @@ def _graph_pr(spark: SparkSession, sf_dir: str):
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated on the FUSED kernel — the flagship 100-TB path (one
+    applyInPandas round-trip per superstep) is the one the oracle checks;
+    fused vs classic agreement <1e-9 is separately pinned in
+    tests/test_fused.py."""
+    from .plans.fused import build_bucketed_csr
+
     g = _graph_pr(spark, sf_dir)
+    csr = build_bucketed_csr(g.edges, g.node_count())
     out = pagerank(
-        g, damping=PR_DAMPING, tolerance=0.0, max_iterations=PR_ITERS + 1
+        g, damping=PR_DAMPING, tolerance=0.0, max_iterations=PR_ITERS + 1,
+        csr=csr, chunk_size=5,
     ).scores
     out = _to_original(out, g.vertices, "internal_id", "id")
     return out.select("id", F.round("score", 6).alias("score"))

@@ -137,10 +137,12 @@ def triangle_count(
     e3 = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
 
-    corners = (
-        tri.select(F.col("x").alias("internal_id"))
-        .unionAll(tri.select(F.col("y").alias("internal_id")))
-        .unionAll(tri.select(F.col("z").alias("internal_id")))
+    # ONE pass over the wedge join: explode the 3 corners per triangle row
+    # instead of unionAll of three selects (which re-executes the two
+    # joins three times — measured 2-3x slower on the dense co-supplier
+    # graph, where the join output is ~1e8 rows at sf0.1).
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("internal_id")
     )
     per_corner = corners.groupBy("internal_id").agg(
         F.count(F.lit(1)).alias("triangles")
