@@ -1385,6 +1385,38 @@ FROM reach WHERE v != s GROUP BY s, v
 # constants — turning "rows-only" ops into real oracle-gated checks
 # without requiring DuckDB to reproduce xxhash64/LSH-plane arithmetic.
 # ---------------------------------------------------------------------------
+def q_celf_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CELF invariants: exactly k distinct real-node seeds, non-negative
+    marginal gains (the 2nd/3rd marginal gain is legitimately 0 when the
+    first seed's cascade already saturates the dense co-supplier graph), and gains non-increasing in selection order (the
+    submodularity property CELF's lazy evaluation relies on)."""
+    from .operators.influence import influence_maximization
+
+    g = _graph_mod(spark, sf_dir)
+    res = influence_maximization(
+        g, 3, propagation_probability=0.2, monte_carlo_simulations=32
+    )
+    node_ids = {r[0] for r in g.vertices.select("internal_id").collect()}
+    seeds, gains = list(res.seeds), list(res.gains)
+    return spark.createDataFrame(
+        [(
+            len(set(seeds)),
+            sum(1 for s in seeds if s not in node_ids),
+            bool(all(g >= 0 for g in gains)),
+            bool(all(a >= b - 1e-9 for a, b in zip(gains, gains[1:]))),
+        )],
+        "n_seeds long, unknown_ids long, gains_nonnegative boolean, "
+        "gains_non_increasing boolean",
+    )
+
+
+def sql_celf_validity() -> str:
+    return """
+SELECT CAST(3 AS BIGINT) AS n_seeds, CAST(0 AS BIGINT) AS unknown_ids,
+       TRUE AS gains_nonnegative, TRUE AS gains_non_increasing
+"""
+
+
 def q_knn_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN output invariants: every vector present, ≤k neighbors each, no
     self pairs, cosine in [-1,1], and recall vs exact top-k at least 10×
@@ -1617,6 +1649,7 @@ def ext_queries() -> dict:
         "node_classification": q_node_classification,
         "link_prediction": q_link_prediction,
         # structural-validity entries (exact oracles for the invariants)
+        "celf_validity": q_celf_validity,
         "knn_validity": q_knn_validity,
         "ann_lsh_validity": q_ann_lsh_validity,
         "random_walk_validity": q_random_walk_validity,
@@ -1653,6 +1686,7 @@ def ext_oracle_sql() -> dict:
         "fastrp": sql_fastrp(),
         "node2vec": sql_node2vec(),
         "all_shortest_paths": sql_all_shortest_paths(),
+        "celf_validity": sql_celf_validity(),
         "knn_validity": sql_knn_validity(),
         "ann_lsh_validity": sql_ann_lsh_validity(),
         "random_walk_validity": sql_random_walk_validity(),
