@@ -100,7 +100,16 @@ def build_bucketed_csr(
     uncompressed (workers memory-map them — one page-cache copy/host)."""
     spark = edges.sparkSession
     if n_buckets is None:
-        n_buckets = max(4 * spark.sparkContext.defaultParallelism, 8)
+        # 4× parallelism so heavy buckets average out (see module skew
+        # note) — but never more buckets than the graph can fill: each
+        # bucket is an applyInPandas group + O(n_buckets) message blobs
+        # per superstep, pure fixed overhead once buckets drop below a
+        # few thousand vertices. Small graphs collapse to a handful of
+        # buckets; big graphs keep the parallelism-derived count.
+        n_buckets = min(
+            max(4 * spark.sparkContext.defaultParallelism, 8),
+            max(1, n_vertices // 2048),
+        )
     bucket_width = max(1, -(-n_vertices // n_buckets))
     n_buckets = -(-n_vertices // bucket_width)
 
@@ -546,6 +555,16 @@ def run_fused(
     ran = max_iterations
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # With AQE off, every cogroup/groupby stage in the loop launches
+    # spark.sql.shuffle.partitions tasks — for small bucket counts most
+    # are empty yet still pay scheduling + python-worker round-trips
+    # (measured ~1.4 s/superstep of pure overhead on a 1-bucket graph at
+    # 64 partitions). The blob exchange needs at most one partition per
+    # bucket, so size the loop's shuffles to the bucket count.
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(parts_before), nb))
+    )
 
     def _obs_metrics(obs_name: str):
         return (
@@ -614,6 +633,7 @@ def run_fused(
             t += todo
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
 
     return FusedResult(
         state=cur.filter(F.col("kind") == 0),
