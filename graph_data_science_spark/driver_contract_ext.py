@@ -1614,6 +1614,60 @@ def sql_simhash_validity() -> str:
     return "SELECT TRUE AS one_sig_per_doc, CAST(0 AS BIGINT) AS unknown_ids"
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over the events table — the
+    batch plan of ``streaming.stream_ops.windowed_event_counts`` (same
+    code path the watermarked streaming query runs)."""
+    from .streaming.stream_ops import windowed_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev, window="1 hour", watermark=None)
+
+
+def sql_windowed_event_counts() -> str:
+    return (
+        "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) "
+        "AS window_start, event_type, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1, 2"
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (native session_window) per user over the
+    events table; 30-minute inactivity gap."""
+    from .streaming.stream_ops import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap="30 minutes", watermark=None)
+
+
+def sql_sessionize() -> str:
+    # a new session starts when the gap since the previous event is
+    # STRICTLY greater than 30 min (Spark merges an event landing exactly
+    # on last_ts + gap; see test_streaming_ops.py)
+    return """
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts)
+                             <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ), s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -1633,6 +1687,8 @@ def ext_queries() -> dict:
         "pagerank_weighted": q_pagerank_weighted,
         "triangle_stream": q_triangle_stream,
         "balanced_triads": q_balanced_triads,
+        "windowed_event_counts": q_windowed_event_counts,
+        "sessionize": q_sessionize,
         # rows-only (no oracle: engine-specific hash / seeded numpy /
         # schedule-dependent result)
         "louvain": q_louvain,
@@ -1680,6 +1736,8 @@ def ext_oracle_sql() -> dict:
         "pagerank_weighted": sql_pagerank_weighted(),
         "triangle_stream": sql_triangle_stream(),
         "balanced_triads": sql_balanced_triads(),
+        "windowed_event_counts": sql_windowed_event_counts(),
+        "sessionize": sql_sessionize(),
         "k1coloring_validity": sql_k1coloring_validity(),
         "louvain_validity": sql_louvain_validity(),
         "spanning_tree_validity": sql_spanning_tree_validity(),

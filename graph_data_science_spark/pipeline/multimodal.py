@@ -58,13 +58,39 @@ def extract_features(
 
     def fe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for row in pdf.itertuples(index=False):
-                px = _decode_image_stub(row.payload, row.width, row.height)
-                pools = np.array_split(px, dim)
-                feats.append(
-                    np.array([p.mean() for p in pools], dtype=np.float32)
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"],
+                     "feature": pd.Series([], dtype=object),
+                     "n_bytes": pd.Series([], dtype="int32")}
                 )
+                continue
+            # decode is per-item (a real codec is too); pooling is one
+            # C-level reduceat over the concatenated pixel stream
+            chunks = [
+                _decode_image_stub(row.payload, row.width, row.height)
+                for row in pdf.itertuples(index=False)
+            ]
+            lens = np.array([c.size for c in chunks], dtype=np.int64)
+            if (lens < dim).any():
+                # degenerate tiny items: keep np.array_split semantics
+                feats = [
+                    np.array(
+                        [p.mean() for p in np.array_split(c, dim)],
+                        dtype=np.float32,
+                    )
+                    for c in chunks
+                ]
+            else:
+                flat = np.concatenate(chunks)
+                q, r = np.divmod(lens, dim)
+                sizes = np.repeat(q[:, None], dim, axis=1)
+                sizes[np.arange(dim)[None, :] < r[:, None]] += 1
+                starts = np.roll(np.cumsum(sizes.ravel()), 1)
+                starts[0] = 0
+                sums = np.add.reduceat(flat.astype(np.float64), starts)
+                means = (sums / sizes.ravel()).reshape(len(pdf), dim)
+                feats = list(means.astype(np.float32))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -85,6 +85,9 @@ def get_spark(
         # single shared virtual disk does not — tmpfs restores that
         # scaling behavior in local mode
         .config("spark.local.dir", _local_dirs())
+        # deterministic event-time semantics everywhere: window alignment
+        # and epoch conversions must not depend on the host's timezone
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # iterative loops re-use mid-plan results; don't let broadcast
