@@ -330,22 +330,29 @@ def _pagerank_fused(
     from ..plans.fused import run_fused, write_static_array
 
     alpha = 1.0 - damping
-    degrees = graph.out_degrees(weighted=weighted)
     delta_coefficient = 1.0
-    if article_rank:
-        avg_degree = graph.relationship_count() / max(graph.node_count(), 1)
-        degrees = degrees.withColumn(
-            "degree", F.col("degree") + F.lit(avg_degree)
+    if csr.has_degree_statics and not article_rank:
+        # degrees were folded into the CSR build pass — no extra scan
+        deg_static = "out_wdegree" if weighted else "out_degree"
+    else:
+        degrees = graph.out_degrees(weighted=weighted)
+        if article_rank:
+            avg_degree = graph.relationship_count() / max(
+                graph.node_count(), 1
+            )
+            degrees = degrees.withColumn(
+                "degree", F.col("degree") + F.lit(avg_degree)
+            )
+            delta_coefficient = avg_degree
+        write_static_array(
+            csr,
+            degrees.select(
+                F.col("internal_id").alias("vertex"),
+                F.col("degree").cast("double").alias("value"),
+            ),
+            "degree",
         )
-        delta_coefficient = avg_degree
-    write_static_array(
-        csr,
-        degrees.select(
-            F.col("internal_id").alias("vertex"),
-            F.col("degree").cast("double").alias("value"),
-        ),
-        "degree",
-    )
+        deg_static = "degree"
     sources = _source_internal_ids(graph, source_nodes)
     src_arr = (
         np.array(sorted(sources), dtype=np.int64)
@@ -356,7 +363,7 @@ def _pagerank_fused(
     bw = csr.bucket_width
 
     def compute(bucket, it, state, msg_vals, msg_mask, static):
-        deg = np.asarray(static("degree"))
+        deg = np.asarray(static(deg_static))
         width = len(deg)
         base = bucket * bw
         safe_deg = np.where(deg > 0, deg, 1.0)

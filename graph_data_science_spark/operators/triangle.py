@@ -23,6 +23,7 @@ Two broadcast-free shuffle joins total; AQE handles residual skew.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
@@ -57,19 +58,28 @@ def _distinct_degrees(canon: DataFrame) -> DataFrame:
     )
 
 
-def _oriented(canon: DataFrame, degrees: DataFrame) -> DataFrame:
+def _oriented(
+    canon: DataFrame, degrees: DataFrame, keep_deg: bool = False
+) -> DataFrame:
     """Orient each undirected edge low-degree -> high-degree (ties: smaller
-    id first). Returns (u, v) with u 'before' v in the total degree order."""
+    id first). Returns (u, v) with u 'before' v in the total degree order;
+    with ``keep_deg`` also (dv,) the degree of v — the probe kernel
+    orients wedge pairs locally from it, with no degree lookups."""
     da = degrees.select(F.col("internal_id").alias("a"), F.col("deg").alias("da"))
     db = degrees.select(F.col("internal_id").alias("b"), F.col("deg").alias("db"))
     e = canon.join(da, "a").join(db, "b")
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    return e.select(
+    cols = [
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ]
+    if keep_deg:
+        cols.append(
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv")
+        )
+    return e.select(*cols)
 
 
 def triangles_stream(
@@ -130,23 +140,49 @@ def triangle_count(
             canon.join(keep.withColumnRenamed("internal_id", "a"), "a")
             .join(keep.withColumnRenamed("internal_id", "b"), "b")
         )
-    degrees = _distinct_degrees(canon)
-    o = _oriented(canon, degrees).localCheckpoint(eager=False)
-    e1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    strategy = os.environ.get("GDS_TRI_STRATEGY", "auto")
+    use_probe = False
+    if strategy != "join":
+        from ..plans.triprobe import probe_applicable
 
-    # ONE pass over the wedge join: explode the 3 corners per triangle row
-    # instead of unionAll of three selects (which re-executes the two
-    # joins three times — measured 2-3x slower on the dense co-supplier
-    # graph, where the join output is ~1e8 rows at sf0.1).
-    corners = tri.select(
-        F.explode(F.array("x", "y", "z")).alias("internal_id")
-    )
-    per_corner = corners.groupBy("internal_id").agg(
-        F.count(F.lit(1)).alias("triangles")
-    )
+        # canon feeds the gate count, the degree agg, and the orientation
+        # join — materialize it once instead of re-deriving the upstream
+        # pipeline per action
+        canon = canon.localCheckpoint(eager=True)
+        n_vertices = graph.node_count()
+        n_edges = canon.count()
+        use_probe = strategy == "probe" or probe_applicable(
+            n_vertices, n_edges
+        )
+    degrees = _distinct_degrees(canon)
+    if use_probe:
+        # block-probe kernel (plans/triprobe.py): no wedge shuffle —
+        # wedges are generated and probed in numpy against mmap'd
+        # per-bucket key blocks; only (vertex, count) rows move
+        from ..plans.triprobe import triangle_probe_counts
+
+        o = _oriented(canon, degrees, keep_deg=True)
+        per_corner = triangle_probe_counts(
+            o, n_vertices, graph.spark
+        ).withColumnRenamed("vertex", "internal_id")
+    else:
+        o = _oriented(canon, degrees).localCheckpoint(eager=False)
+        e1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        e2 = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+        e3 = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+
+        # ONE pass over the wedge join: explode the 3 corners per
+        # triangle row instead of unionAll of three selects (which
+        # re-executes the two joins three times — measured 2-3x slower
+        # on the dense co-supplier graph, where the join output is ~1e8
+        # rows at sf0.1).
+        corners = tri.select(
+            F.explode(F.array("x", "y", "z")).alias("internal_id")
+        )
+        per_corner = corners.groupBy("internal_id").agg(
+            F.count(F.lit(1)).alias("triangles")
+        )
     per_node = (
         graph.vertices.select("internal_id")
         .join(per_corner, "internal_id", "left")

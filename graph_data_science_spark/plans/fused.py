@@ -67,6 +67,9 @@ class BucketedCsr:
     n_buckets: int
     bucket_width: int
     n_vertices: int
+    # builds since the degree fold-in carry per-bucket out_degree /
+    # out_wdegree statics written during the CSR pass itself
+    has_degree_statics: bool = False
 
     def cleanup(self) -> None:
         import shutil
@@ -130,6 +133,25 @@ def build_bucketed_csr(
     )
 
     def build(key, pdf):
+        # the group already holds every out-edge of this bucket's
+        # vertices: fold the degree statics into the same pass instead of
+        # paying a second full scan+shuffle of the edge table later
+        b = int(key[0])
+        base = b * bucket_width
+        width = min(bucket_width, n_vertices - base)
+        if width > 0:
+            src_local = pdf["src"].to_numpy(np.int64) - base
+            w = pdf["weight"].to_numpy(np.float64)
+            deg = np.bincount(src_local, minlength=width).astype(
+                np.float64
+            )[:width]
+            # weighted degree sums positive weights only (matches
+            # Graph.out_degrees / ref DegreeCentrality.java:117-126)
+            wdeg = np.bincount(
+                src_local, weights=np.maximum(w, 0.0), minlength=width
+            )[:width]
+            _write_static_file(block_dir, "out_degree", b, deg)
+            _write_static_file(block_dir, "out_wdegree", b, wdeg)
         return _build_chunks(key, pdf, max_chunk_edges)
 
     built = e.groupBy("pid").applyInPandas(
@@ -148,7 +170,28 @@ def build_bucketed_csr(
         n_buckets=n_buckets,
         bucket_width=bucket_width,
         n_vertices=n_vertices,
+        has_degree_statics=True,
     )
+
+
+def _write_static_file(
+    block_dir: str, name: str, bucket: int, arr: np.ndarray
+) -> None:
+    """Worker-side static-array write, same layout as
+    :func:`write_static_array` (``static_<name>/bucket=N/*.parquet`` with
+    a single ``payload`` row). Write-to-temp + atomic rename so a retried
+    task can never leave a half-written file behind."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(block_dir, f"static_{name}", f"bucket={bucket}")
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, "part-0.parquet")
+    tmp = f"{final}.{os.getpid()}.tmp"
+    pq.write_table(
+        pa.table({"payload": [arr.tobytes()]}), tmp, compression="none"
+    )
+    os.replace(tmp, final)
 
 
 def write_static_array(

@@ -116,3 +116,27 @@ def test_random_graph_vs_numpy_trace(spark):
         0.0 if deg[v] < 2 else 2.0 * diag[v] / (deg[v] * (deg[v] - 1))
         for v in range(n)
     ])) < 1e-12
+
+
+def test_probe_vs_join_strategies_agree(spark, monkeypatch):
+    """The block-probe kernel and the wedge-join plan are alternate
+    physical strategies for the same operator — per-node counts must be
+    identical on a random graph (incl. isolated vertices + hubs)."""
+    rng = random.Random(7)
+    n = 120
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(900)}
+    edges = [(a, b) for a, b in edges if a != b]
+    g = _graph(spark, edges, node_ids=range(n))
+
+    monkeypatch.setenv("GDS_TRI_STRATEGY", "probe")
+    probe = {
+        r["internal_id"]: r["triangles"]
+        for r in triangle_count(g).per_node.collect()
+    }
+    monkeypatch.setenv("GDS_TRI_STRATEGY", "join")
+    join = {
+        r["internal_id"]: r["triangles"]
+        for r in triangle_count(g).per_node.collect()
+    }
+    assert probe == join
+    assert sum(probe.values()) % 3 == 0 and sum(probe.values()) > 0
