@@ -67,7 +67,10 @@ def main() -> None:
     # --- north-rule throughput run: corpus -> edges -> PageRank ----------
     t0 = time.monotonic()
     corpus = synthesize_corpus(spark, n_repos)
-    edges = extract_import_edges(corpus)
+    # materialize the extracted edge table ONCE: from_edge_df runs three
+    # actions over its input (id-map build + two endpoint joins), and
+    # re-running the synth+regex pipeline per action doubled build time
+    edges = extract_import_edges(corpus).localCheckpoint(eager=True)
     g = from_edge_df(edges, weight="weight")
     g.vertices = g.vertices.localCheckpoint(eager=True)
     g.edges = g.edges.localCheckpoint(eager=True)

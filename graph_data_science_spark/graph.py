@@ -18,6 +18,7 @@ single-partition window, so it scales to 10^9+ vertices.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -259,10 +260,18 @@ def from_edge_df(
     )
     idmap = dense_ids(nodes, "original_id").cache()
     vertices = idmap.select("internal_id", "original_id")
+    # the id map is usually orders of magnitude smaller than the edge
+    # table (nodes vs edges): broadcast it below a row bound instead of
+    # shuffling the full edge table twice for the two endpoint joins.
+    # The count also warms the cache the first downstream action needs.
+    bcast_max = int(os.environ.get("GDS_IDMAP_BROADCAST_MAX_ROWS", 4_000_000))
+    m = idmap
+    if idmap.count() <= bcast_max:
+        m = F.broadcast(idmap)
     mapped = (
-        e.join(idmap.withColumnRenamed("original_id", "src_orig"), "src_orig")
+        e.join(m.withColumnRenamed("original_id", "src_orig"), "src_orig")
         .withColumnRenamed("internal_id", "src")
-        .join(idmap.withColumnRenamed("original_id", "dst_orig"), "dst_orig")
+        .join(m.withColumnRenamed("original_id", "dst_orig"), "dst_orig")
         .withColumnRenamed("internal_id", "dst")
         .select("src", "dst", "weight")
     )

@@ -52,7 +52,10 @@ from .fused import (
     _write_static_file,
 )
 
-WEDGE_FLUSH = 8_000_000  # wedge-buffer cap per task before probing
+# wedge-buffer cap per task before probing: 5 buffered arrays + ~10
+# flush temporaries at 8 B each ≈ 120 B/wedge peak — 4M keeps a task
+# under ~500 MB, sized for a real executor's memory, not this sandbox
+WEDGE_FLUSH = int(os.environ.get("GDS_TRI_WEDGE_FLUSH", 4_000_000))
 
 
 def _load_keys(block_dir: str, bucket: int) -> np.ndarray:
