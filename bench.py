@@ -41,6 +41,9 @@ def main() -> None:
         synthesize_corpus,
     )
 
+    # 32 in-process executor threads + Arrow batches need headroom: the
+    # default 8g heap has shown GCLocker allocation failures mid-bench
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark("gds-bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
