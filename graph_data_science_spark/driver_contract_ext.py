@@ -1668,6 +1668,105 @@ def sql_sessionize() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+NEARDUP_THRESHOLD = 0.3  # synthetic embeddings are isotropic (max pairwise
+# cosine ~0.51 at sf0.01); 0.3 selects the ~1% high-cosine tail — a
+# non-trivial near-dup set. Real near-dup corpora would use ~0.9.
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (a<b, cosine >= threshold)."""
+    from .driver_contract import _embeddings
+    from .pipeline.ann import cosine_neardup_pairs
+
+    out = cosine_neardup_pairs(
+        _embeddings(spark, sf_dir), threshold=NEARDUP_THRESHOLD
+    )
+    return out.select(
+        "vec_id", "dup_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def sql_embedding_neardup() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS dup_id,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_id, dup_id, ROUND(cosine, 4) AS cosine
+FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
+def q_embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-by-id dedup: keep=false iff a near-dup with smaller id."""
+    from .driver_contract import _embeddings
+    from .pipeline.ann import cosine_neardup_dedup
+
+    return cosine_neardup_dedup(
+        _embeddings(spark, sf_dir), threshold=NEARDUP_THRESHOLD
+    )
+
+
+def sql_embedding_neardup_dedup() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {NEARDUP_THRESHOLD})
+SELECT e.vec_id, d.vec_id IS NULL AS keep
+FROM e LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+def q_embedding_neardup_lsh_validity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH near-dup invariants: emitted pairs are a SUBSET of the exact
+    pair set (precision 1 — every candidate is re-scored with the exact
+    cosine), all >= threshold, canonically ordered (a<b), and recall
+    clears a floor set well under the seeded-plane theoretical rate
+    (8 bits x 8 tables at cosine 0.3..0.51 -> per-pair collision
+    ~12-25%; measured at sf0.01 comfortably above the 0.05 gate)."""
+    from .driver_contract import _embeddings
+    from .pipeline.ann import cosine_neardup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    exact = cosine_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD).cache()
+    approx = cosine_neardup_pairs(
+        emb, threshold=NEARDUP_THRESHOLD, method="lsh"
+    ).cache()
+    not_in_exact = approx.select("vec_id", "dup_id").join(
+        exact.select("vec_id", "dup_id"), ["vec_id", "dup_id"], "left_anti"
+    ).count()
+    below = approx.filter(F.col("cosine") < NEARDUP_THRESHOLD).count()
+    misordered = approx.filter(F.col("vec_id") >= F.col("dup_id")).count()
+    recall = approx.count() / max(exact.count(), 1)
+    return spark.createDataFrame(
+        [(int(not_in_exact), int(below), int(misordered),
+          bool(recall >= 0.05))],
+        "not_in_exact long, below_threshold long, misordered long, "
+        "recall_ge_floor boolean",
+    )
+
+
+def sql_embedding_neardup_lsh_validity() -> str:
+    return """
+SELECT CAST(0 AS BIGINT) AS not_in_exact,
+       CAST(0 AS BIGINT) AS below_threshold,
+       CAST(0 AS BIGINT) AS misordered, TRUE AS recall_ge_floor
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -1714,6 +1813,10 @@ def ext_queries() -> dict:
         "k1coloring_validity": q_k1coloring_validity,
         "louvain_validity": q_louvain_validity,
         "spanning_tree_validity": q_spanning_tree_validity,
+        # embedding-cosine near-dup (exact + greedy dedup + LSH validity)
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_dedup": q_embedding_neardup_dedup,
+        "embedding_neardup_lsh_validity": q_embedding_neardup_lsh_validity,
     }
 
 
@@ -1753,4 +1856,7 @@ def ext_oracle_sql() -> dict:
         "graphsage": sql_graphsage(),
         "node_classification": sql_node_classification(),
         "link_prediction": sql_link_prediction(),
+        "embedding_neardup": sql_embedding_neardup(),
+        "embedding_neardup_dedup": sql_embedding_neardup_dedup(),
+        "embedding_neardup_lsh_validity": sql_embedding_neardup_lsh_validity(),
     }

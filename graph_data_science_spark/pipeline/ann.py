@@ -414,3 +414,114 @@ def nn_descent_topk(
         if changed <= delta * n_total * k:
             break
     return cur
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    method: str = "exact",
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_id < dup_id, cosine)
+    with ``cosine >= threshold``.
+
+    - ``method="exact"``: all-pairs block nested-loop over the a<b
+      triangle — the correctness baseline, O(n^2 d); fine to ~10^5 rows.
+    - ``method="lsh"``: the scale path. Random-hyperplane buckets
+      (``bits`` sign bits x ``tables`` tables) generate candidates; ONLY
+      ids travel through the bucket join + distinct, vectors are
+      re-joined afterwards, and every candidate is re-scored with the
+      exact cosine — precision is 1 by construction, recall < 1 (raise
+      ``tables`` to trade shuffle volume for recall). Hub buckets split
+      across tables, so no single-bucket quadratic blowup beyond
+      2^bits-way skew, which AQE's skew-join handles.
+
+    Both paths are pure JVM expressions (``zip_with``/``aggregate``).
+    """
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    a = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("va"),
+        _norm_col(vec_col).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("dup_id"),
+        F.col(vec_col).alias("vb"),
+        _norm_col(vec_col).alias("nb"),
+    )
+    if method == "exact":
+        cands = a.crossJoin(b).filter(F.col("vec_id") < F.col("dup_id"))
+    else:
+        dim = len(emb.select(vec_col).first()[0])
+        buckets = None
+        for t in range(tables):
+            planes = _hyperplanes(dim, bits, t, seed)
+            sig = F.lit(0).cast("long")
+            for i in range(bits):
+                proj = F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in planes[i]]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                sig = sig + F.when(proj > 0, F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                )
+            part = emb.select(
+                F.col(id_col).alias("vec_id"),
+                F.lit(t).alias("table"),
+                sig.alias("bucket"),
+            )
+            buckets = part if buckets is None else buckets.unionByName(part)
+        # ids-only candidate dedup (vectors re-joined after the distinct)
+        ca = buckets
+        cb = buckets.select(
+            "table", "bucket", F.col("vec_id").alias("dup_id")
+        )
+        cand_ids = (
+            ca.join(cb, ["table", "bucket"])
+            .filter(F.col("vec_id") < F.col("dup_id"))
+            .select("vec_id", "dup_id")
+            .distinct()
+        )
+        cands = cand_ids.join(a, "vec_id").join(b, "dup_id")
+    return cands.select(
+        "vec_id",
+        "dup_id",
+        (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def cosine_neardup_dedup(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    method: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+) -> DataFrame:
+    """(vec_id, keep): greedy-by-id near-dup dedup — a vector is dropped
+    iff it has a near-duplicate (cosine >= threshold) with a smaller id.
+    Deterministic, one anti-join past the pair stream; compose the pair
+    stream with :func:`operators.wcc.wcc` instead for connected-component
+    dedup semantics."""
+    pairs = cosine_neardup_pairs(
+        emb, threshold=threshold, method=method,
+        id_col=id_col, vec_col=vec_col, **kw,
+    )
+    dropped = pairs.select(F.col("dup_id").alias(id_col)).distinct()
+    return (
+        emb.select(id_col)
+        .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(F.col(id_col), F.col("__drop").isNull().alias("keep"))
+    )

@@ -129,3 +129,74 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(vids, every_ms=500)
     assert frames.count() >= 5
     assert frames.columns == ["media_id", "frame_ts_ms", "payload"]
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_neardup_exact_matches_numpy(spark):
+    from graph_data_science_spark.pipeline.ann import cosine_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 8))
+    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(8)  # planted near-dup
+    vecs = vecs.astype(np.float32)
+    out = cosine_neardup_pairs(_emb_df(spark, vecs), threshold=0.8)
+    got = {(r["vec_id"], r["dup_id"]): r["cosine"] for r in out.collect()}
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / np.outer(
+        np.linalg.norm(v, axis=1), np.linalg.norm(v, axis=1)
+    )
+    want = {
+        (i, j): sims[i, j]
+        for i in range(len(v))
+        for j in range(i + 1, len(v))
+        if sims[i, j] >= 0.8
+    }
+    assert set(got) == set(want) and (3, 7) in got
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_cosine_neardup_lsh_subset_and_finds_planted(spark):
+    from graph_data_science_spark.pipeline.ann import cosine_neardup_pairs
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((40, 8))
+    for a, b in ((2, 9), (11, 30)):  # planted near-identical pairs
+        vecs[b] = vecs[a] + 0.001 * rng.standard_normal(8)
+    vecs = vecs.astype(np.float32)
+    emb = _emb_df(spark, vecs)
+    exact = {
+        (r["vec_id"], r["dup_id"])
+        for r in cosine_neardup_pairs(emb, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["vec_id"], r["dup_id"])
+        for r in cosine_neardup_pairs(
+            emb, threshold=0.8, method="lsh"
+        ).collect()
+    }
+    assert lsh <= exact  # precision 1 by construction
+    # near-identical vectors share every bucket: LSH always finds them
+    assert {(2, 9), (11, 30)} <= lsh
+
+
+def test_cosine_neardup_dedup_greedy_rule(spark):
+    from graph_data_science_spark.pipeline.ann import cosine_neardup_dedup
+
+    vecs = np.array(
+        [[1.0, 0.0], [0.99, 0.01], [0.0, 1.0], [-1.0, 0.0]], np.float32
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in cosine_neardup_dedup(
+            _emb_df(spark, vecs), threshold=0.9
+        ).collect()
+    }
+    # 1 is a near-dup of 0 (drop); 0 keeps (no smaller partner); 2,3 unique
+    assert out == {0: True, 1: False, 2: True, 3: True}
