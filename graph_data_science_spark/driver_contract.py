@@ -69,6 +69,10 @@ def edges_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        # consumers (common_neighbors, adamic_adar, the PR symmetrized
+        # graph) reference this frame 2-4 times; materialize so the
+        # self-join-of-self-join tree doesn't re-scan lineitem per branch
+        .localCheckpoint(eager=False)
     )
 
 

@@ -43,7 +43,13 @@ def node_similarity(
     truncation of `common`, biasing similarity down for pairs sharing
     ultra-hubs — the same spirit as GDS's degreeCutoff bounding; set to
     None for exact semantics on small graphs)."""
-    edges = graph.edges.select("src", "dst").distinct()
+    # Materialize the deduped edge projection once: it is referenced four
+    # times below (deg, wedge left/right, hub filter) and graph.edges is a
+    # full scan+idmap plan — without this the wedge join re-reads the
+    # source table per reference (observed 40 parquet scans in the plan).
+    edges = graph.edges.select("src", "dst").distinct().localCheckpoint(
+        eager=False
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     if degree_cutoff > 1:
         deg = deg.filter(F.col("deg") >= degree_cutoff)
@@ -82,6 +88,9 @@ def node_similarity(
         .filter(F.col("similarity") >= similarity_cutoff)
     )
     if both_directions:
+        # the union references sims twice; cut the wedge join from
+        # recomputing for the swapped direction
+        sims = sims.localCheckpoint(eager=False)
         sims = sims.unionByName(
             sims.select(
                 F.col("node2").alias("node1"),
