@@ -1,0 +1,65 @@
+"""Physical-plan quality guards (regression companion to tools/plan_audit.py).
+
+Two invariants the 100-TB design depends on, checked on cheap
+representative contract queries so the suite stays fast:
+
+- **No row-at-a-time Python UDFs** anywhere in a headline plan: Python may
+  enter only through Arrow (`MapInPandas` / `FlatMapGroupsInPandas`),
+  never `BatchEvalPython` (per-row pickling, ~10-100x slower).
+- **Column pruning reaches the scan**: every parquet scan carries a
+  non-empty `ReadSchema` strictly narrower than the widest table, and
+  derived edge tables referenced from multiple join branches are
+  materialized (bounded scan count) instead of re-scanning the source
+  per branch — the defect the audit caught in node_similarity (40 scans).
+"""
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def contract_queries():
+    from graph_data_science_spark import driver_contract as dc
+
+    return dc.queries()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["token_count", "exact_dedup", "degree_centrality", "common_neighbors",
+     "node_similarity", "embedding_topk"],
+)
+def test_no_row_python_udf(spark, contract_queries, name):
+    plan = _plan(contract_queries[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+@pytest.mark.parametrize("name", ["token_count", "degree_centrality"])
+def test_scans_are_pruned(spark, contract_queries, name):
+    plan = _plan(contract_queries[name](spark, SF_DIR))
+    # one ReadSchema detail line per scan node
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"{name}: no parquet scan found"
+    assert all(s.strip() for s in schemas), f"{name}: scan with empty ReadSchema"
+    # lineitem is 16 columns; a pruned scan reads far fewer
+    assert all(s.count(",") < 8 for s in schemas), f"{name}: unpruned wide scan"
+
+
+def test_shared_edge_subtrees_materialized(spark, contract_queries):
+    # similarity queries self-join a derived edge table; after the lazy
+    # localCheckpoint the final plan must not re-derive it per branch
+    for name, max_scans in [("node_similarity", 2), ("common_neighbors", 2)]:
+        plan = _plan(contract_queries[name](spark, SF_DIR))
+        scans = len(re.findall(r"ReadSchema: struct<", plan))
+        assert scans <= max_scans, (
+            f"{name}: {scans} parquet scans — shared subtree re-derived"
+        )
