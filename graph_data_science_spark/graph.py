@@ -235,6 +235,60 @@ def from_edge_list(
     return g
 
 
+def from_dense_edge_df(
+    edges: DataFrame,
+    *,
+    n_vertices: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    orientation: str = NATURAL,
+    aggregation: str = "DEFAULT",
+) -> Graph:
+    """Fast-path :func:`from_edge_df` for endpoint ids that are ALREADY
+    dense longs in ``[0, n_vertices)``.
+
+    Skips the sort-based id map and the two endpoint joins entirely —
+    ``vertices`` is ``spark.range(n)`` with ``internal_id ==
+    original_id``. Ids in ``[0, n)`` that never appear as an endpoint
+    become isolated vertices (GDS parity: the id map covers the whole
+    node space, ref core/.../core/loading/IdMap.java:49-114). When
+    ``n_vertices`` is None it is derived with one max() aggregation.
+
+    The caller asserts density; a stray id >= n_vertices would silently
+    corrupt CSR bucket addressing, so sanity-check upstream when unsure
+    (the slow path tolerates arbitrary ids).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        (F.col(weight).cast("double") if weight else F.lit(1.0)).alias(
+            "weight"
+        ),
+    )
+    if n_vertices is None:
+        row = e.agg(
+            F.max("src").alias("ms"), F.max("dst").alias("md")
+        ).first()
+        n_vertices = int(max(row["ms"] or -1, row["md"] or -1)) + 1
+    vertices = (
+        e.sparkSession.range(n_vertices)
+        .select(
+            F.col("id").alias("internal_id"),
+            F.col("id").alias("original_id"),
+        )
+    )
+    mapped = aggregate_edges(orient_edges(e, orientation), aggregation)
+    g = Graph(
+        vertices,
+        mapped,
+        orientation=orientation,
+        is_multigraph=aggregation in ("DEFAULT", "NONE"),
+    )
+    g._node_count = n_vertices
+    return g
+
+
 def from_edge_df(
     edges: DataFrame,
     *,

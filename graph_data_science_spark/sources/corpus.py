@@ -145,6 +145,15 @@ def verify_sha256(df: DataFrame, expected: DataFrame) -> int:
     )
 
 
+def repo_id_expr(col: str):
+    """JVM expression extracting the dense numeric repo id from a repo
+    name (``org{id%97}/repo_{id}``). Lets graph builds take the
+    :func:`graph.from_dense_edge_df` fast path — no sort-based id map,
+    no endpoint joins — since repo ids are dense ``[0, n_repos)`` by
+    construction."""
+    return F.regexp_extract(F.col(col), r"repo_(\d+)$", 1).cast("long")
+
+
 def repo_dimension(corpus: DataFrame) -> DataFrame:
     """(repo, module) — one row per repo; module derived from repo id suffix."""
     return (

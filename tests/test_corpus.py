@@ -50,3 +50,43 @@ def test_edge_table_to_graph(spark):
     n = g.node_count()
     ids = [r["internal_id"] for r in g.vertices.orderBy("internal_id").collect()]
     assert ids == list(range(n))  # dense, sorted assignment
+
+
+def test_dense_fast_path_matches_generic_build(spark):
+    """from_dense_edge_df == from_edge_df modulo the id space: same
+    PageRank scores per original id, plus baseline scores for ids in
+    [0, n) that never appear as endpoints (isolated vertices)."""
+    from graph_data_science_spark.graph import from_dense_edge_df
+    from graph_data_science_spark.operators.pagerank import pagerank
+    from graph_data_science_spark.sources.corpus import repo_id_expr
+
+    corpus = synthesize_corpus(spark, N_REPOS)
+    edges = extract_import_edges(corpus)
+    dense = edges.select(
+        repo_id_expr("src").alias("src"),
+        repo_id_expr("dst").alias("dst"),
+        "weight",
+    )
+    # ids extracted from repo names are exactly the dense repo id
+    assert {r["src"] for r in dense.select("src").distinct().collect()} <= set(
+        range(N_REPOS)
+    )
+
+    g_fast = from_dense_edge_df(dense, n_vertices=N_REPOS, weight="weight")
+    assert g_fast.node_count() == N_REPOS
+    g_slow = from_edge_df(dense, weight="weight")
+
+    def scores(g):
+        out = pagerank(g, max_iterations=10).scores
+        m = {
+            r["original_id"]: r["internal_id"]
+            for r in g.vertices.collect()
+        }
+        inv = {v: k for k, v in m.items()}
+        return {
+            inv[r["internal_id"]]: r["score"] for r in out.collect()
+        }
+
+    fast, slow = scores(g_fast), scores(g_slow)
+    for oid, s in slow.items():
+        assert abs(fast[oid] - s) < 1e-9, (oid, fast[oid], s)
