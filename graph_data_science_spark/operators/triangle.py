@@ -142,7 +142,9 @@ def triangle_count(
         )
     strategy = os.environ.get("GDS_TRI_STRATEGY", "auto")
     use_probe = False
+    use_dense = False
     if strategy != "join":
+        from ..plans.tridense import dense_applicable
         from ..plans.triprobe import probe_applicable
 
         # canon feeds the gate count, the degree agg, and the orientation
@@ -151,11 +153,26 @@ def triangle_count(
         canon = canon.localCheckpoint(eager=True)
         n_vertices = graph.node_count()
         n_edges = canon.count()
-        use_probe = strategy == "probe" or probe_applicable(
-            n_vertices, n_edges
+        # density-adaptive physical strategy: small dense graphs take the
+        # blocked-GEMM kernel (work = V^3 BLAS MACs, no wedge
+        # enumeration); everything else probes wedges against mmap'd key
+        # blocks while per-host residency allows, else the pure
+        # shuffle-join plan
+        use_dense = strategy == "dense" or (
+            strategy == "auto" and dense_applicable(n_vertices, n_edges)
         )
+        if not use_dense:
+            use_probe = strategy == "probe" or probe_applicable(
+                n_vertices, n_edges
+            )
     degrees = _distinct_degrees(canon)
-    if use_probe:
+    if use_dense:
+        from ..plans.tridense import triangle_dense_counts
+
+        per_corner = triangle_dense_counts(
+            canon, graph.node_count(), graph.spark
+        ).withColumnRenamed("vertex", "internal_id")
+    elif use_probe:
         # block-probe kernel (plans/triprobe.py): no wedge shuffle —
         # wedges are generated and probed in numpy against mmap'd
         # per-bucket key blocks; only (vertex, count) rows move

@@ -140,3 +140,63 @@ def test_probe_vs_join_strategies_agree(spark, monkeypatch):
     }
     assert probe == join
     assert sum(probe.values()) % 3 == 0 and sum(probe.values()) > 0
+
+
+def test_dense_vs_join_strategies_agree(spark, monkeypatch):
+    """The blocked-GEMM kernel is a third physical strategy (gated on
+    small dense graphs): per-node counts must match the wedge-join plan
+    on a dense random graph with isolated vertices, and on K_12 where
+    every wedge closes."""
+    rng = random.Random(11)
+    n = 80
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(1400)}
+    edges = [(a, b) for a, b in edges if a != b]
+    # 5 isolated vertices beyond any edge endpoint
+    g = _graph(spark, edges, node_ids=range(n + 5))
+
+    monkeypatch.setenv("GDS_TRI_STRATEGY", "dense")
+    dense = {
+        r["internal_id"]: r["triangles"]
+        for r in triangle_count(g).per_node.collect()
+    }
+    monkeypatch.setenv("GDS_TRI_STRATEGY", "join")
+    join = {
+        r["internal_id"]: r["triangles"]
+        for r in triangle_count(g).per_node.collect()
+    }
+    assert dense == join
+    assert sum(dense.values()) > 0
+
+    k = 12
+    gk = _graph(spark, [(i, j) for i in range(k) for j in range(i + 1, k)])
+    monkeypatch.setenv("GDS_TRI_STRATEGY", "dense")
+    res = triangle_count(gk)
+    assert res.global_count == k * (k - 1) * (k - 2) // 6
+    per = {r["internal_id"]: r["triangles"] for r in res.per_node.collect()}
+    assert set(per.values()) == {(k - 1) * (k - 2) // 2}
+
+
+def test_dense_gate_and_max_degree(spark, monkeypatch):
+    """auto picks dense only for small dense graphs; max_degree exclusion
+    flows through the dense path (excluded hubs report -1 and their
+    triangles vanish)."""
+    from graph_data_science_spark.plans.tridense import dense_applicable
+
+    assert dense_applicable(1000, 499500)          # K_1000
+    assert not dense_applicable(1000, 3000)        # sparse
+    assert not dense_applicable(10_000_000, 10**9)  # too many vertices
+
+    k = 10
+    edges = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    monkeypatch.setenv("GDS_TRI_STRATEGY", "dense")
+    per, _ = _per_node(spark, edges, max_degree=k - 2)
+    # every vertex of K_10 has degree 9 > 8: all excluded
+    assert set(per.values()) == {-1}
+
+    # hub + pendant triangle mix: hub excluded, triangle intact
+    # (single-digit ids: internal ids follow the string sort of originals)
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2), (7, 8), (8, 9), (7, 9)]
+    per, total = _per_node(spark, edges, node_ids=range(10), max_degree=5)
+    assert per[0] == -1
+    assert per[7] == per[8] == per[9] == 1
+    assert total == 1
