@@ -61,30 +61,68 @@ def edges_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def edges_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _lineitem(spark, sf_dir).select("l_suppkey", "l_partkey").distinct()
-    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
-    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
-    return (
-        a.join(b, "pk")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-        # consumers (common_neighbors, adamic_adar, the PR symmetrized
-        # graph) reference this frame 2-4 times; materialize so the
-        # self-join-of-self-join tree doesn't re-scan lineitem per branch
-        .localCheckpoint(eager=False)
-    )
+    def build():
+        li = (
+            _lineitem(spark, sf_dir)
+            .select("l_suppkey", "l_partkey")
+            .distinct()
+        )
+        a = li.select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a")
+        )
+        b = li.select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b")
+        )
+        return (
+            a.join(b, "pk")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            # consumers (common_neighbors, adamic_adar, the PR symmetrized
+            # graph) reference this frame 2-4 times per query AND across
+            # queries (memoized below); materialize so the
+            # self-join-of-self-join tree doesn't re-scan lineitem per use
+            .localCheckpoint(eager=False)
+        )
+
+    return _memo_graph(spark, sf_dir, "edges_ss", build)
+
+
+# Session-scoped graph catalog: the contract queries run as a suite over
+# one SparkSession, and 24 of them derive the same three graphs from
+# lineitem — mirroring the reference's usage model (gds.graph.create once,
+# run many algorithms against the named catalog entry, ref proc/.../
+# catalog/GraphCreateProc.java). Graph objects are immutable here
+# (operators never mutate contract graphs), so memoize per
+# (session, sf_dir, shape). Keyed on the session OBJECT (strong ref) so a
+# stopped session's entries can never be revived by id() reuse.
+_GRAPH_MEMO: dict = {}
+
+
+def _memo_graph(spark: SparkSession, sf_dir: str, shape: str, builder):
+    key = (spark, sf_dir, shape)
+    hit = _GRAPH_MEMO.get(key)
+    if hit is None:
+        hit = builder()
+        _GRAPH_MEMO[key] = hit
+    return hit
 
 
 def _graph_sp(spark: SparkSession, sf_dir: str):
-    return from_edge_df(edges_sp(spark, sf_dir), weight="weight")
+    return _memo_graph(
+        spark, sf_dir, "sp",
+        lambda: from_edge_df(edges_sp(spark, sf_dir), weight="weight"),
+    )
 
 
 def _graph_ss(spark: SparkSession, sf_dir: str):
-    e = edges_ss(spark, sf_dir).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
-    return from_edge_df(e, orientation=UNDIRECTED)
+    def build():
+        e = edges_ss(spark, sf_dir).select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        return from_edge_df(e, orientation=UNDIRECTED)
+
+    return _memo_graph(spark, sf_dir, "ss", build)
 
 
 def _to_original(result: DataFrame, vertices: DataFrame, col: str,
@@ -116,11 +154,14 @@ SQL_EDGES_PR = (
 
 
 def _graph_pr(spark: SparkSession, sf_dir: str):
-    e = edges_ss(spark, sf_dir)
-    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    return from_edge_df(sym)
+    def build():
+        e = edges_ss(spark, sf_dir)
+        sym = e.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        return from_edge_df(sym)
+
+    return _memo_graph(spark, sf_dir, "pr", build)
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

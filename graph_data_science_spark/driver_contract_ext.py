@@ -1284,8 +1284,15 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").cast("double").alias("acctbal"),
         F.col("s_nationkey").cast("double").alias("nkey"),
     )
-    g.vertices = g.vertices.join(supp, "original_id", "left").fillna(
-        {"acctbal": 0.0, "nkey": 0.0}
+    # copy, don't mutate: contract graphs must stay immutable (the shared
+    # _graph_* builders are session-memoized)
+    import dataclasses
+
+    g = dataclasses.replace(
+        g,
+        vertices=g.vertices.join(supp, "original_id", "left").fillna(
+            {"acctbal": 0.0, "nkey": 0.0}
+        ),
     )
     from .operators.mlops import split_relationships
 
