@@ -138,11 +138,66 @@ class GraphCatalog:
             "overwrite"
         ).parquet(path)
 
+    def mutate_relationships(
+        self, name: str, relationship_type: str, rels: DataFrame
+    ) -> Graph:
+        """Relationship mutate-mode (gds.nodeSimilarity.mutate /
+        gds.beta.knn.mutate / gds.alpha.collapsePath.mutate): add a typed
+        relationship set to the cataloged graph. ``rels``: (src, dst
+        [, weight])."""
+        g = self.get(name)
+        self._graphs[name] = g.with_relationships(rels, relationship_type)
+        return self._graphs[name]
+
+    def stream_relationship_properties(
+        self, name: str, properties: list[str]
+    ) -> DataFrame:
+        """gds.graph.streamRelationshipProperty(ies): (src, dst,
+        relationshipType, <properties...>)."""
+        g = self.get(name)
+        e = g.edges
+        rel_type = (
+            F.col("__type") if "__type" in e.columns
+            else F.lit(None).cast("string")
+        )
+        return e.select(
+            "src", "dst", rel_type.alias("relationshipType"), *properties
+        )
+
+    def write_relationship(
+        self,
+        name: str,
+        relationship_type: str | None,
+        path: str,
+        *,
+        property_name: str | None = None,
+    ) -> int:
+        """gds.graph.writeRelationship: persist one relationship type (and
+        optionally one property) — parquet dir locally, Iceberg table via
+        .writeTo on a cluster. Returns relationships written."""
+        g = self.get(name)
+        e = g.edges
+        if relationship_type is not None:
+            if "__type" not in e.columns:
+                raise KeyError(
+                    f"graph '{name}' has no typed relationships"
+                )
+            e = e.filter(F.col("__type") == relationship_type)
+        cols = ["src", "dst"] + ([property_name] if property_name else [])
+        out = e.select(*cols)
+        out.write.mode("overwrite").parquet(path)
+        return out.count()
+
     def delete_relationships(self, name: str, predicate: str) -> Graph:
         """Drop edges matching a SQL predicate (gds.graph.deleteRelationships
         generalized: GDS drops by type; types here are predicate-encoded)."""
         g = self.get(name)
-        g.edges = g.edges.filter(~F.expr(predicate))
+        # keep rows where the predicate is FALSE **or NULL** — a bare
+        # `~expr` drops NULL-evaluating rows too (SQL three-valued logic),
+        # silently deleting e.g. untyped edges under `__type = 'X'`
+        g.edges = g.edges.filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
         return g
 
     # -- subgraph / export ----------------------------------------------

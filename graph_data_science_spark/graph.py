@@ -149,6 +149,36 @@ class Graph:
             joined, self.edges, self.orientation, self.is_multigraph, dict(self.meta)
         )
 
+    def with_relationships(
+        self, rels: DataFrame, relationship_type: str
+    ) -> "Graph":
+        """mutate-mode relationship output (gds.nodeSimilarity.mutate,
+        gds.beta.knn.mutate, gds.alpha.collapsePath.mutate — ref proc/.../
+        MutateRelationshipsProc): union a typed relationship set into the
+        graph. ``rels``: (src, dst[, weight]). Existing edges keep their
+        ``__type`` (NULL for the base projection); the new set is tagged
+        ``relationship_type`` so typed filters (delete_relationships,
+        subgraph relationship_filter, write_relationship) address it."""
+        base = self.edges
+        if "__type" not in base.columns:
+            base = base.withColumn(
+                "__type", F.lit(None).cast("string")
+            )
+        new = rels
+        if "weight" not in new.columns:
+            new = new.withColumn("weight", F.lit(1.0))
+        new = new.select(
+            "src", "dst", F.col("weight").cast("double").alias("weight")
+        ).withColumn("__type", F.lit(relationship_type))
+        extra = [c for c in base.columns if c not in new.columns]
+        for c in extra:
+            new = new.withColumn(c, F.lit(None))
+        merged = base.unionByName(new.select(*base.columns))
+        return Graph(
+            self.vertices, merged, self.orientation, self.is_multigraph,
+            dict(self.meta),
+        )
+
 
 def orient_edges(edges: DataFrame, orientation: str) -> DataFrame:
     """Apply orientation (ref: Orientation.java:30-32).

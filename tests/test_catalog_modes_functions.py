@@ -172,3 +172,38 @@ def test_incremental_wcc(spark):
     c2 = {r["internal_id"]: r["component"]
           for r in incremental_wcc(g2, prev).collect()}
     assert len(set(c2.values())) == 1
+
+
+def test_typed_relationship_lifecycle(spark, tmp_path):
+    """mutate_relationships → streamRelationshipProperty →
+    writeRelationship → delete by type (gds.graph.writeRelationship /
+    streamRelationshipProperties parity)."""
+    cat = GraphCatalog()
+    cat.create("gr", _edges_df(spark, [(1, 2), (2, 3)]))
+    base_edges = cat.get("gr").relationship_count()
+
+    sim = spark.createDataFrame(
+        [(0, 2, 0.9), (1, 0, 0.5)], "src long, dst long, weight double"
+    )
+    g2 = cat.mutate_relationships("gr", "SIMILAR", sim)
+    assert g2.relationship_count() == base_edges + 2
+
+    streamed = cat.stream_relationship_properties("gr", ["weight"])
+    assert streamed.columns == ["src", "dst", "relationshipType", "weight"]
+    by_type = {
+        r["relationshipType"]: r["cnt"]
+        for r in streamed.groupBy("relationshipType")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert by_type == {None: base_edges, "SIMILAR": 2}
+
+    p = str(tmp_path / "rels")
+    n = cat.write_relationship("gr", "SIMILAR", p, property_name="weight")
+    assert n == 2
+    back = spark.read.parquet(p)
+    assert back.columns == ["src", "dst", "weight"]
+    assert back.count() == 2
+
+    cat.delete_relationships("gr", "__type = 'SIMILAR'")
+    assert cat.get("gr").edges.count() == base_edges
