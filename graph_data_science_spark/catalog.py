@@ -17,6 +17,7 @@ vertex/edge columns.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -281,6 +282,56 @@ class GraphCatalog:
         if name not in self._model_store():
             raise KeyError(f"model '{name}' not found")
         del self._model_store()[name]
+
+    def model_publish(self, name: str) -> dict:
+        """gds.alpha.model.publish: mark a model shared (ref ModelCatalog
+        multi-tenant visibility; single-tenant here, so publish = flag)."""
+        store = self._model_store()
+        if name not in store:
+            raise KeyError(f"model '{name}' not found")
+        store[name]["shared"] = True
+        return {k: v for k, v in store[name].items() if k != "payload"}
+
+    def model_save(self, name: str, path: str) -> None:
+        """gds.alpha.model.store: persist the model artifact to disk
+        (JSON metadata + payload; numpy arrays serialized as lists)."""
+        import json
+
+        import numpy as np
+
+        store = self._model_store()
+        if name not in store:
+            raise KeyError(f"model '{name}' not found")
+
+        def default(o):
+            if isinstance(o, np.ndarray):
+                return {"__nd__": o.tolist(), "dtype": str(o.dtype)}
+            if isinstance(o, (np.integer, np.floating)):
+                return o.item()
+            raise TypeError(type(o).__name__)
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"modelName": name, **store[name]}, fh, default=default)
+        os.replace(tmp, path)
+
+    def model_load(self, name: str, path: str) -> dict:
+        """gds.alpha.model.load: restore a stored model into the catalog."""
+        import json
+
+        import numpy as np
+
+        def hook(d):
+            if "__nd__" in d:
+                return np.asarray(d["__nd__"], dtype=d["dtype"])
+            return d
+
+        with open(path) as fh:
+            m = json.load(fh, object_hook=hook)
+        m.pop("modelName", None)
+        self._model_store()[name] = m
+        return m
 
     def degree_distribution(self, name: str) -> dict:
         """ref: GraphStoreCatalog.getDegreeDistribution:112 — percentile

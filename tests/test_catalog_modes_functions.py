@@ -207,3 +207,21 @@ def test_typed_relationship_lifecycle(spark, tmp_path):
 
     cat.delete_relationships("gr", "__type = 'SIMILAR'")
     assert cat.get("gr").edges.count() == base_edges
+
+
+def test_model_publish_save_load(spark, tmp_path):
+    import numpy as np
+
+    cat = GraphCatalog()
+    cat.model_store("m1", {"type": "fastrp", "payload": np.arange(4.0)})
+    pub = cat.model_publish("m1")
+    assert pub["shared"] is True and "payload" not in pub
+
+    p = str(tmp_path / "models" / "m1.json")
+    cat.model_save("m1", p)
+    cat.model_drop("m1")
+    assert not cat.model_exists("m1")
+    m = cat.model_load("m1", p)
+    assert cat.model_exists("m1")
+    assert m["type"] == "fastrp" and m["shared"] is True
+    assert np.allclose(m["payload"], np.arange(4.0))
