@@ -33,6 +33,11 @@ def norm(v):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if sf_dir.startswith("-") or not os.path.isdir(sf_dir):
+        sys.exit(
+            "usage: python tools/check_contract.py [sf_dir] [query ...]\n"
+            f"not a data directory: {sf_dir!r}"
+        )
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
