@@ -28,6 +28,26 @@ from ..graph import Graph
 from ..plans.checkpoint import loop_checkpoint
 
 
+def build_wcc_csr(graph: Graph, *, n_buckets: int | None = None):
+    """Bucketed CSR over the SYMMETRIZED edge set for the fused WCC
+    kernel — min-label messages must flow both directions or the result
+    is reachability, not weak connectivity."""
+    from ..plans.fused import build_bucketed_csr
+
+    sym = (
+        graph.edges.select("src", "dst")
+        .unionByName(
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return build_bucketed_csr(sym, graph.node_count(), n_buckets=n_buckets)
+
+
 def wcc(
     graph: Graph,
     *,
@@ -35,8 +55,25 @@ def wcc(
     seed_property: str | None = None,
     max_iterations: int = 100,
     shortcutting: bool = True,
+    csr=None,
+    chunk_size: int = 1,
 ) -> DataFrame:
-    """Returns (internal_id long, component long)."""
+    """Returns (internal_id long, component long).
+
+    ``csr``: a :func:`build_wcc_csr` result routes the computation through
+    the fused blob-state kernel (plans/fused.py) — the 100-TB path: one
+    applyInPandas round-trip per superstep, ``min``-reduced packed
+    messages, frontier = changed labels only. Unsupported with
+    ``threshold``/``seed_property`` (classic kernel handles those)."""
+    if csr is not None:
+        if threshold is not None or seed_property is not None:
+            raise ValueError(
+                "fused WCC supports the default variant only; use the "
+                "classic kernel for threshold/seeded runs"
+            )
+        return _wcc_fused(
+            graph, csr, max_iterations=max_iterations, chunk_size=chunk_size
+        )
     # Shared seed labels may span disconnected components (GDS seeded
     # semantics: same seed => same community id). Pointer-jumping assumes
     # label values are unique per component, so disable it when seeded.
@@ -110,6 +147,78 @@ def wcc(
             break
 
     return labels.select("internal_id", F.col("label").alias("component"))
+
+
+def _wcc_fused(
+    graph: Graph, csr, *, max_iterations: int, chunk_size: int
+) -> DataFrame:
+    """Min-label propagation on the fused kernel: state = one f64 label
+    per vertex (ids < 2^53 exact in doubles), messages = changed labels
+    pushed along the symmetrized out-edges, combined with the ``min``
+    reducer. Vote-to-halt falls out of the frontier mask: a vertex sends
+    only the superstep its label shrinks, and run_fused stops when no
+    bucket reports a change (ref min-label formulation:
+    examples/pregel-example/.../cc/ConnectedComponentsPregel.java:57-74)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.fused import run_fused
+
+    bw = csr.bucket_width
+
+    def compute(bucket, it, state, msg_vals, msg_mask, static):
+        width = len(np.asarray(static("out_degree")))
+        base = bucket * bw
+        if it == 1:
+            label = (base + np.arange(width)).astype(np.float64)
+            send = label
+            active = width
+        else:
+            label = state[0]
+            if msg_vals is None:
+                changed = np.zeros(len(label), dtype=bool)
+            else:
+                changed = msg_mask & (msg_vals < label)
+                label = np.where(changed, msg_vals, label)
+            send = np.where(changed, label, np.nan)
+            active = int(changed.sum())
+        return (label, label), send, float(active), active
+
+    result = run_fused(
+        csr,
+        compute,
+        max_iterations=max_iterations,
+        reducer="min",
+        chunk_size=chunk_size,
+        spark=graph.spark,
+    )
+    if not result.converged:
+        # never return a silently partial assignment: pure min-label needs
+        # O(diameter) supersteps (no pointer-jumping over blob state) —
+        # high-diameter graphs should raise max_iterations or take the
+        # classic kernel, whose label-shortcutting collapses chains in
+        # O(log n) rounds
+        raise RuntimeError(
+            f"fused WCC did not converge within {max_iterations} "
+            "supersteps (graph diameter exceeds the budget); raise "
+            "max_iterations or use the classic kernel (csr=None)"
+        )
+    state = result.state
+
+    def unpack(pdf_iter):
+        for pdf in pdf_iter:
+            for r in pdf.itertuples(index=False):
+                lab = np.frombuffer(r.pay1, dtype=np.float64)
+                base = r.bucket * bw
+                yield pd.DataFrame(
+                    {
+                        "internal_id": base
+                        + np.arange(len(lab), dtype=np.int64),
+                        "component": lab.astype(np.int64),
+                    }
+                )
+
+    return state.mapInPandas(unpack, "internal_id long, component long")
 
 
 def wcc_stats(components: DataFrame) -> DataFrame:

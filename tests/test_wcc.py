@@ -114,3 +114,45 @@ def test_stats_and_consecutive_ids(spark):
     cons = consecutive_ids(comp)
     vals = sorted({r["component"] for r in cons.collect()})
     assert vals == list(range(16))
+
+
+def test_fused_wcc_matches_classic(spark):
+    """Fused min-label kernel (blob state, min reducer) is an alternate
+    physical strategy for default WCC — identical assignments, and it
+    refuses to return a partial result when the superstep budget is
+    below the graph diameter."""
+    import random
+
+    import pytest
+
+    from graph_data_science_spark.operators.wcc import build_wcc_csr
+
+    rng = random.Random(5)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(420)]
+    g = from_edge_list(spark, edges, node_ids=range(n))
+    classic = sorted(
+        (r["internal_id"], r["component"]) for r in wcc(g).collect()
+    )
+    csr = build_wcc_csr(g)
+    try:
+        fused = sorted(
+            (r["internal_id"], r["component"])
+            for r in wcc(g, csr=csr, chunk_size=4).collect()
+        )
+        assert fused == classic
+
+        with pytest.raises(ValueError):
+            wcc(g, csr=csr, threshold=0.5)
+
+        chain = from_edge_list(
+            spark, [(i, i + 1) for i in range(60)], node_ids=range(61)
+        )
+        csr2 = build_wcc_csr(chain)
+        try:
+            with pytest.raises(RuntimeError):
+                wcc(chain, csr=csr2, max_iterations=10)
+        finally:
+            csr2.cleanup()
+    finally:
+        csr.cleanup()
