@@ -435,6 +435,20 @@ SELECT id, MIN(lab) AS component FROM reach GROUP BY id
 """
 
 
+def q_wcc_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_wcc, gated on the FUSED kernel (blob state,
+    min-reduced packed messages over the symmetrized CSR) — the 100-TB
+    path gets its own oracle row, like q_pagerank does."""
+    from .operators.wcc import build_wcc_csr
+
+    g = _graph_sp(spark, sf_dir)
+    comp = wcc(g, csr=build_wcc_csr(g), chunk_size=4)
+    comp = _to_original(comp, g.vertices, "internal_id", "id")
+    return _to_original(comp, g.vertices, "component", "component").select(
+        "id", "component"
+    )
+
+
 def q_component_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph_sp(spark, sf_dir)
     return wcc(g).agg(
@@ -915,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "sssp": q_sssp,
         "wcc": q_wcc,
+        "wcc_fused": q_wcc_fused,
         "component_count": q_component_count,
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
@@ -948,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic": sql_harmonic(),
         "sssp": sql_sssp(),
         "wcc": sql_wcc(),
+        "wcc_fused": sql_wcc(),
         "component_count": sql_component_count(),
         "label_propagation": sql_label_propagation(),
         "triangle_count": sql_triangle_count(),
