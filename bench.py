@@ -173,6 +173,31 @@ def main() -> None:
     timings["corpus_pagerank_converge"] = round(conv_sec, 3)
     csr2.cleanup()
 
+    # --- the north star's other three algorithms, on the same corpus
+    # dependency graph (fused-kernel WCC; classic LP / triangle) --------
+    from graph_data_science_spark.operators.labelprop import (
+        label_propagation,
+    )
+    from graph_data_science_spark.operators.triangle import triangle_count
+    from graph_data_science_spark.operators.wcc import build_wcc_csr, wcc
+
+    t0 = time.monotonic()
+    wcsr = build_wcc_csr(g2)
+    comp = wcc(g2, csr=wcsr, chunk_size=4)
+    corpus_components = comp.select("component").distinct().count()
+    timings["corpus_wcc"] = round(time.monotonic() - t0, 3)
+    wcsr.cleanup()
+
+    t0 = time.monotonic()
+    label_propagation(g2, max_iterations=5).select(
+        "label"
+    ).distinct().count()
+    timings["corpus_labelprop"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    corpus_triangles = triangle_count(g2).global_count
+    timings["corpus_triangle"] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -195,6 +220,8 @@ def main() -> None:
                 )
                 if conv_sec > 0
                 else 0.0,
+                "corpus_components": corpus_components,
+                "corpus_triangles": corpus_triangles,
                 "cpus": cpus,
             }
         )
