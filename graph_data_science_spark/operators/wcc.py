@@ -57,6 +57,7 @@ def wcc(
     shortcutting: bool = True,
     csr=None,
     chunk_size: int = 1,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Returns (internal_id long, component long).
 
@@ -72,7 +73,11 @@ def wcc(
                 "classic kernel for threshold/seeded runs"
             )
         return _wcc_fused(
-            graph, csr, max_iterations=max_iterations, chunk_size=chunk_size
+            graph,
+            csr,
+            max_iterations=max_iterations,
+            chunk_size=chunk_size,
+            metrics_out=metrics_out,
         )
     # Shared seed labels may span disconnected components (GDS seeded
     # semantics: same seed => same community id). Pointer-jumping assumes
@@ -150,7 +155,12 @@ def wcc(
 
 
 def _wcc_fused(
-    graph: Graph, csr, *, max_iterations: int, chunk_size: int
+    graph: Graph,
+    csr,
+    *,
+    max_iterations: int,
+    chunk_size: int,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Min-label propagation on the fused kernel: state = one f64 label
     per vertex (ids < 2^53 exact in doubles), messages = changed labels
@@ -192,6 +202,9 @@ def _wcc_fused(
         chunk_size=chunk_size,
         spark=graph.spark,
     )
+    if metrics_out is not None:
+        metrics_out["ran_iterations"] = result.ran_iterations
+        metrics_out["converged"] = result.converged
     if not result.converged:
         # never return a silently partial assignment: pure min-label needs
         # O(diameter) supersteps (no pointer-jumping over blob state) —

@@ -17,6 +17,12 @@ stand-in; the saturated pair is also run and reported for transparency
 when ``BENCH_ALSO_SATURATED=1``.
 
 Usage: python tools/bench_scaling.py [n_repos] [n_small] [n_big] [reps]
+
+``BENCH_ALGO=wcc`` measures the fused-kernel WCC job instead (min-label
+over the symmetrized CSR, run to convergence — superstep count is
+deterministic, so the two parallelism levels do identical work); its
+result is APPENDED to BENCH.md as secondary evidence, leaving the
+primary PageRank tables in place.
 """
 
 from __future__ import annotations
@@ -66,8 +72,56 @@ spark.stop()
 """
 
 
+WCC_RUN_TEMPLATE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from graph_data_science_spark.session import get_spark
+from graph_data_science_spark.graph import from_edge_df
+from graph_data_science_spark.operators.wcc import build_wcc_csr, wcc
+
+cpus = {cpus}
+spark = get_spark("scaling-bench-wcc", master=f"local[{{cpus}}]",
+                  shuffle_partitions={parts})
+spark.sparkContext.setLogLevel("ERROR")
+edges = spark.read.parquet({edges_path!r})
+g = from_edge_df(edges, weight="weight")
+g.vertices = g.vertices.localCheckpoint(eager=True)
+g.edges = g.edges.localCheckpoint(eager=True)
+g.relationship_count()
+csr = build_wcc_csr(g, n_buckets={nbuckets})
+# messages flow along the SYMMETRIZED edge set — that is the
+# per-superstep work unit, so throughput = sym-edges x supersteps / sec
+n_sym = (
+    g.edges.select("src", "dst")
+    .unionByName(g.edges.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    .filter(F.col("src") != F.col("dst")).distinct().count()
+)
+# warmup run reaches convergence too (min-label superstep count is a
+# pure function of the graph, identical at every parallelism); primes
+# JIT/Arrow and the per-worker CSR block caches
+wcc(g, csr=csr, chunk_size={chunk}).count()
+metrics = {{}}
+t0 = time.monotonic()
+wcc(g, csr=csr, chunk_size={chunk}, metrics_out=metrics).count()
+sec = time.monotonic() - t0
+supersteps = metrics["ran_iterations"]
+csr.cleanup()
+print(json.dumps({{"cpus": cpus, "edges": n_sym, "sec": sec,
+                  "supersteps": supersteps,
+                  "eps": n_sym * supersteps / sec}}))
+spark.stop()
+"""
+
+
 def run(cpus: int, edges_path: str, iters: int, parts: int) -> dict:
-    code = RUN_TEMPLATE.format(
+    template = (
+        WCC_RUN_TEMPLATE
+        if os.environ.get("BENCH_ALGO", "pagerank") == "wcc"
+        else RUN_TEMPLATE
+    )
+    code = template.format(
         repo=REPO, cpus=cpus, edges_path=edges_path, iters=iters,
         parts=parts, nbuckets=int(os.environ.get("BENCH_N_BUCKETS", "64")),
         chunk=int(os.environ.get("BENCH_CHUNK", "5")),
@@ -153,8 +207,9 @@ spark.stop()
         subprocess.run([sys.executable, "-c", gen], check=True)
 
     parts = 64
+    algo = os.environ.get("BENCH_ALGO", "pagerank")
     main_pair = bench_pair(edges_path, n_small, n_big, iters, parts, reps)
-    report = {"primary": main_pair,
+    report = {"primary": main_pair, "algo": algo,
               "target": ">= 0.8 from N to 4N parallelism"}
 
     sat_pair = None
@@ -229,6 +284,29 @@ workers (stall cycles), the signature of DRAM saturation rather than
 serialization or skew.
 """
     if os.environ.get("BENCH_DRY"):  # experiment mode: don't touch BENCH.md
+        return
+    if algo == "wcc":
+        # secondary evidence: append, keep the primary PageRank tables
+        md = f"""
+## Secondary evidence: fused-kernel WCC, local[{n_small}] → local[{n_big}]
+
+Same harness and pinning as the primary tables; job = min-label WCC on
+the fused kernel over the symmetrized corpus edge set
+({main_pair['edges']:,} sym edges, {n_repos:,} repos), run to
+convergence ({main_pair['supersteps']} supersteps — a pure function of
+the graph, identical at both parallelism levels), after one full
+convergence warmup run.
+
+| parallelism | wall sec (runs) | edges/s (runs) | edges/s median |
+|---|---|---|---|
+{table(main_pair)}
+**Scaling efficiency = {main_pair['scaling_efficiency']:.3f}** — the
+scaling property is the kernel's, not PageRank's: a second algorithm
+(different reducer, frontier that thins to zero) rides the same
+superstep machinery at comparable efficiency.
+"""
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write(md)
         return
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
