@@ -98,10 +98,13 @@ n_sym = (
                                 F.col("src").alias("dst")))
     .filter(F.col("src") != F.col("dst")).distinct().count()
 )
-# warmup run reaches convergence too (min-label superstep count is a
-# pure function of the graph, identical at every parallelism); primes
-# JIT/Arrow and the per-worker CSR block caches
-wcc(g, csr=csr, chunk_size={chunk}).count()
+# warmup: 2 supersteps prime JIT/Arrow and the per-worker CSR block
+# caches (every early superstep touches every chunk); wcc raises on the
+# deliberately-too-small budget, which is fine for a warmup
+try:
+    wcc(g, csr=csr, chunk_size={chunk}, max_iterations=2).count()
+except RuntimeError:
+    pass
 metrics = {{}}
 t0 = time.monotonic()
 wcc(g, csr=csr, chunk_size={chunk}, metrics_out=metrics).count()
@@ -300,10 +303,13 @@ convergence warmup run.
 | parallelism | wall sec (runs) | edges/s (runs) | edges/s median |
 |---|---|---|---|
 {table(main_pair)}
-**Scaling efficiency = {main_pair['scaling_efficiency']:.3f}** — the
-scaling property is the kernel's, not PageRank's: a second algorithm
-(different reducer, frontier that thins to zero) rides the same
-superstep machinery at comparable efficiency.
+**Scaling efficiency = {main_pair['scaling_efficiency']:.3f}**.
+Context for reading the number: WCC-to-convergence is a harder scaling
+case than fixed-superstep PageRank — the frontier thins to near zero
+after the first few supersteps, so the tail supersteps are dominated by
+fixed per-superstep cost (driver scheduling + stage launch), a serial
+term that does not shrink with cores. At 100-TB scale the same tail
+exists but the early full-frontier supersteps dominate wall time.
 """
         with open(os.path.join(REPO, "BENCH.md"), "a") as f:
             f.write(md)
