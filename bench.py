@@ -176,6 +176,7 @@ def main() -> None:
     # --- the north star's other three algorithms, on the same corpus
     # dependency graph (fused-kernel WCC; classic LP / triangle) --------
     from graph_data_science_spark.operators.labelprop import (
+        build_lp_csr,
         label_propagation,
     )
     from graph_data_science_spark.operators.triangle import triangle_count
@@ -189,10 +190,12 @@ def main() -> None:
     wcsr.cleanup()
 
     t0 = time.monotonic()
-    label_propagation(g2, max_iterations=5).select(
-        "label"
-    ).distinct().count()
+    lcsr = build_lp_csr(g2)
+    label_propagation(
+        g2, max_iterations=5, csr=lcsr, chunk_size=2
+    ).select("label").distinct().count()
     timings["corpus_labelprop"] = round(time.monotonic() - t0, 3)
+    lcsr.cleanup()
 
     t0 = time.monotonic()
     corpus_triangles = triangle_count(g2).global_count

@@ -476,6 +476,25 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_label_propagation, gated on the FUSED kernel
+    (blob state, (dst, label, weight) vote triples, ``labelvote``
+    reducer over the reversed-edge CSR) — the 100-TB LP path gets its
+    own oracle row, like q_wcc_fused / q_pagerank do."""
+    from .operators.labelprop import build_lp_csr
+
+    g = _graph_ss(spark, sf_dir)
+    # csr blocks are swept by the owned-dir atexit backstop (the returned
+    # DataFrame is lazy — the driver collects it after we return)
+    labels = label_propagation(
+        g, max_iterations=LP_ITERS, csr=build_lp_csr(g), chunk_size=2
+    )
+    labels = _to_original(labels, g.vertices, "internal_id", "id")
+    return _to_original(labels, g.vertices, "label", "label").select(
+        "id", "label"
+    )
+
+
 def sql_label_propagation() -> str:
     ctes = [
         f"canon AS MATERIALIZED ({SQL_EDGES_SS})",
@@ -932,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_fused": q_wcc_fused,
         "component_count": q_component_count,
         "label_propagation": q_label_propagation,
+        "label_propagation_fused": q_label_propagation_fused,
         "triangle_count": q_triangle_count,
         "local_clustering_coefficient": q_lcc,
         "degree_centrality": q_degree,
@@ -966,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc_fused": sql_wcc(),
         "component_count": sql_component_count(),
         "label_propagation": sql_label_propagation(),
+        "label_propagation_fused": sql_label_propagation(),
         "triangle_count": sql_triangle_count(),
         "local_clustering_coefficient": sql_lcc(),
         "degree_centrality": sql_degree(),

@@ -34,6 +34,22 @@ from pyspark.sql import DataFrame, functions as F
 from ..graph import Graph
 
 
+def build_lp_csr(graph: Graph, *, n_buckets: int | None = None):
+    """Bucketed CSR over the REVERSED edge set for the fused LP kernel:
+    votes flow from a node's out-neighbors back to the node (classic plan:
+    ``edges.join(labels, "dst").groupBy("src")``), so the fused scatter —
+    which pushes along CSR out-edges — must run on (dst → src) edges.
+    Weights are preserved for the ``weighted`` variant."""
+    from ..plans.fused import build_bucketed_csr
+
+    rev = graph.edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    return build_bucketed_csr(rev, graph.node_count(), n_buckets=n_buckets)
+
+
 def label_propagation(
     graph: Graph,
     *,
@@ -41,8 +57,35 @@ def label_propagation(
     weighted: bool = False,
     seed_property: str | None = None,
     node_weight_property: str | None = None,
+    csr=None,
+    chunk_size: int = 1,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
-    """Returns (internal_id long, label long, ran_iterations metadata on df)."""
+    """Returns (internal_id long, label long, ran_iterations metadata on df).
+
+    ``csr``: a :func:`build_lp_csr` result routes the computation through
+    the fused blob-state kernel (plans/fused.py) — the 100-TB path: one
+    applyInPandas round-trip per superstep, (dst, label, weight) vote
+    triples combined map-side per (dst, label) and argmax-reduced on the
+    receive side (``labelvote`` reducer). Same synchronous schedule and
+    GDS tie semantics as the classic plan — results are identical.
+    Unsupported with ``seed_property``/``node_weight_property`` (classic
+    kernel handles those)."""
+    if csr is not None:
+        if seed_property is not None or node_weight_property is not None:
+            raise ValueError(
+                "fused label propagation supports the unseeded, "
+                "node-unweighted variant only; use the classic kernel "
+                "for seeded/node-weighted runs"
+            )
+        return _labelprop_fused(
+            graph,
+            csr,
+            max_iterations=max_iterations,
+            weighted=weighted,
+            chunk_size=chunk_size,
+            metrics_out=metrics_out,
+        )
     vertices = graph.vertices
 
     if seed_property:
@@ -115,3 +158,74 @@ def label_propagation(
             break
 
     return labels
+
+
+def _labelprop_fused(
+    graph: Graph,
+    csr,
+    *,
+    max_iterations: int,
+    weighted: bool,
+    chunk_size: int,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """Synchronous LP on the fused kernel: state = one f64 label per
+    vertex (ids < 2^53 exact in doubles); every vertex re-broadcasts its
+    label each superstep (synchronous LP has no frontier — a node's new
+    label is the argmax over ALL current neighbor labels, so vote traffic
+    cannot thin), and the ``labelvote`` reducer resolves max-vote /
+    tie-min-label per destination. Superstep 1 initializes and sends, so
+    vote round i completes at superstep i+1 — ``max_iterations`` counts
+    vote rounds, matching the classic kernel exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.fused import run_fused
+
+    bw = csr.bucket_width
+
+    def compute(bucket, it, state, msg_vals, msg_mask, static):
+        width = len(np.asarray(static("out_degree")))
+        base = bucket * bw
+        if it == 1:
+            label = (base + np.arange(width)).astype(np.float64)
+            active = width
+        else:
+            label = state[0]
+            if msg_vals is not None:
+                new_label = np.where(msg_mask, msg_vals, label)
+            else:
+                new_label = label
+            active = int((new_label != label).sum())
+            label = new_label
+        return (label, np.empty(0)), label, float(active), active
+
+    result = run_fused(
+        csr,
+        compute,
+        max_iterations=max_iterations + 1,
+        reducer="labelvote",
+        use_weights=weighted,
+        chunk_size=chunk_size,
+        spark=graph.spark,
+    )
+    if metrics_out is not None:
+        # superstep 1 is init+send; vote rounds = supersteps - 1
+        metrics_out["ran_iterations"] = max(result.ran_iterations - 1, 0)
+        metrics_out["converged"] = result.converged
+    state = result.state
+
+    def unpack(pdf_iter):
+        for pdf in pdf_iter:
+            for r in pdf.itertuples(index=False):
+                lab = np.frombuffer(r.pay1, dtype=np.float64)
+                base = r.bucket * bw
+                yield pd.DataFrame(
+                    {
+                        "internal_id": base
+                        + np.arange(len(lab), dtype=np.int64),
+                        "label": lab.astype(np.int64),
+                    }
+                )
+
+    return state.mapInPandas(unpack, "internal_id long, label long")

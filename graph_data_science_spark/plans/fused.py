@@ -54,9 +54,11 @@ from .checkpoint import CheckpointStore, Timer, loop_checkpoint
 from .csr import _build_chunks
 
 # kind 0 = state row (pay1..payK = algorithm state arrays, metrics cols),
-# kind 1 = packed messages (pay1 = int64 dst ids, pay2 = float64 values)
+# kind 1 = packed messages (pay1 = int32 bucket-local dst ids, pay2 =
+# float64 values; the "labelvote" reducer additionally ships pay3 =
+# float64 vote weights so a message is a (dst, label, weight) triple)
 FUSED_SCHEMA = (
-    "kind int, bucket int, pay1 binary, pay2 binary, "
+    "kind int, bucket int, pay1 binary, pay2 binary, pay3 binary, "
     "l1 double, active long, nrows long"
 )
 
@@ -291,6 +293,44 @@ def load_static(block_dir: str, name: str, bucket: int, bw: int,
     return arr
 
 
+def _combine_labelvote(
+    allv: np.ndarray, alll: np.ndarray, allw: np.ndarray, width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce (dst, label, weight) message triples to the winning label
+    per destination: max total vote weight, tie → smaller label (GDS LP
+    tie semantics, ref algo/.../labelpropagation/ComputeStepConsumer.java
+    tallyVotes:64-77). Fully vectorized: lexsort by (dst, label) →
+    segment-sum votes → per-dst segment argmax with first-wins (labels
+    ascending within a dst ⇒ ties resolve to the smaller label).
+    Deterministic: the caller concatenates message rows in sorted-sender
+    order, and lexsort is stable, so float summation order is fixed."""
+    if len(allv) == 0:
+        return np.full(width, np.nan), np.zeros(width, dtype=bool)
+    order = np.lexsort((alll, allv))
+    sv = allv[order]
+    sl = alll[order]
+    sw = allw[order]
+    newg = np.r_[True, (sv[1:] != sv[:-1]) | (sl[1:] != sl[:-1])]
+    gstarts = np.nonzero(newg)[0]
+    gv = sv[gstarts]
+    gl = sl[gstarts]
+    gw = np.add.reduceat(sw, gstarts)
+    dmask = np.r_[True, gv[1:] != gv[:-1]]
+    dstarts = np.nonzero(dmask)[0]
+    best = np.maximum.reduceat(gw, dstarts)
+    seg_id = np.cumsum(dmask) - 1
+    is_best = gw == best[seg_id]
+    sentinel = len(gw)
+    first = np.minimum.reduceat(
+        np.where(is_best, np.arange(sentinel), sentinel), dstarts
+    )
+    msg_vals = np.full(width, np.nan)
+    msg_vals[gv[dstarts]] = gl[first]
+    msg_mask = np.zeros(width, dtype=bool)
+    msg_mask[gv[dstarts]] = True
+    return msg_vals, msg_mask
+
+
 @dataclass
 class FusedResult:
     state: DataFrame  # FUSED_SCHEMA rows, kind == 0
@@ -369,7 +409,9 @@ def run_fused(
     block_dir = csr.block_dir
     bucket_edges = np.arange(1, nb + 1, dtype=np.int64) * bw
 
-    out_cols = ("kind", "bucket", "pay1", "pay2", "l1", "active", "nrows")
+    out_cols = (
+        "kind", "bucket", "pay1", "pay2", "pay3", "l1", "active", "nrows"
+    )
 
     def make_udf(iteration: int):
         # single-input grouped UDF (state + message rows share the schema,
@@ -439,32 +481,50 @@ def run_fused(
                 else:
                     allv = np.empty(0, np.int32)
                     allm = np.empty(0, np.float64)
-                # bincount is the vectorized combine (np.add.at is a
-                # scalar loop ~100 ns/element — it alone dominated python
-                # CPU at 145M-edge scale)
-                cnt = np.bincount(allv, minlength=width).astype(np.float64)
-                if reducer == "sum":
-                    acc = np.bincount(allv, weights=allm, minlength=width)
-                elif reducer == "count":
-                    acc = cnt.copy()
+                if reducer == "labelvote":
+                    p3 = pdf["pay3"].to_numpy()
+                    ws_ = [
+                        np.frombuffer(p3[i], dtype=np.float64) for i in midx
+                    ]
+                    allw = (
+                        np.concatenate(ws_)
+                        if len(ws_) > 1
+                        else (ws_[0] if ws_ else np.empty(0, np.float64))
+                    )
+                    msg_vals, msg_mask = _combine_labelvote(
+                        allv, allm, allw, width
+                    )
                 else:
-                    # min/max: sort by target, segment-reduce
-                    if reducer == "min":
-                        acc = np.full(width, np.inf)
-                        red = np.minimum
+                    # bincount is the vectorized combine (np.add.at is a
+                    # scalar loop ~100 ns/element — it alone dominated
+                    # python CPU at 145M-edge scale)
+                    cnt = np.bincount(allv, minlength=width).astype(
+                        np.float64
+                    )
+                    if reducer == "sum":
+                        acc = np.bincount(
+                            allv, weights=allm, minlength=width
+                        )
+                    elif reducer == "count":
+                        acc = cnt.copy()
                     else:
-                        acc = np.full(width, -np.inf)
-                        red = np.maximum
-                    if len(allv):
-                        order = np.argsort(allv, kind="stable")
-                        sv = allv[order]
-                        sm = allm[order]
-                        starts = np.nonzero(
-                            np.r_[True, sv[1:] != sv[:-1]]
-                        )[0]
-                        acc[sv[starts]] = red.reduceat(sm, starts)
-                msg_mask = cnt > 0
-                msg_vals = acc
+                        # min/max: sort by target, segment-reduce
+                        if reducer == "min":
+                            acc = np.full(width, np.inf)
+                            red = np.minimum
+                        else:
+                            acc = np.full(width, -np.inf)
+                            red = np.maximum
+                        if len(allv):
+                            order = np.argsort(allv, kind="stable")
+                            sv = allv[order]
+                            sm = allm[order]
+                            starts = np.nonzero(
+                                np.r_[True, sv[1:] != sv[:-1]]
+                            )[0]
+                            acc[sv[starts]] = red.reduceat(sm, starts)
+                    msg_mask = cnt > 0
+                    msg_vals = acc
 
             new_state, send, l1, active = compute(
                 bucket, iteration, state, msg_vals, msg_mask, static
@@ -474,11 +534,66 @@ def run_fused(
             rows["bucket"].append(bucket)
             rows["pay1"].append(new_state[0].tobytes())
             rows["pay2"].append(new_state[1].tobytes())
+            rows["pay3"].append(b"")
             rows["l1"].append(float(l1))
             rows["active"].append(int(active))
             rows["nrows"].append(width)
 
-            if send is not None:
+            if send is not None and reducer == "labelvote":
+                if not np.isnan(send).all():
+                    for chunk in load_bucket_chunks(block_dir, bucket):
+                        src_ids, dst_ids, dst_offsets, src_idx, weights = (
+                            chunk
+                        )
+                        lab_pe = send[src_ids - base][src_idx]
+                        w_pe = (
+                            weights
+                            if use_weights
+                            else np.ones(len(lab_pe), dtype=np.float64)
+                        )
+                        dst_pe = np.repeat(
+                            dst_ids, np.diff(dst_offsets)
+                        )
+                        sent = ~np.isnan(lab_pe)
+                        if not sent.all():
+                            lab_pe = lab_pe[sent]
+                            w_pe = w_pe[sent]
+                            dst_pe = dst_pe[sent]
+                        if len(dst_pe) == 0:
+                            continue
+                        # map-side combine per (dst, label): early
+                        # supersteps see unique labels (no reduction),
+                        # late supersteps collapse most vote traffic
+                        order = np.lexsort((lab_pe, dst_pe))
+                        sd = dst_pe[order]
+                        sl2 = lab_pe[order]
+                        sw2 = w_pe[order]
+                        newg = np.r_[
+                            True,
+                            (sd[1:] != sd[:-1]) | (sl2[1:] != sl2[:-1]),
+                        ]
+                        gstarts = np.nonzero(newg)[0]
+                        gd = sd[gstarts]
+                        gl = sl2[gstarts]
+                        gw = np.add.reduceat(sw2, gstarts)
+                        gd_local = (gd % bw).astype(np.int32)
+                        cut = np.searchsorted(gd, bucket_edges)
+                        lo = 0
+                        for b in range(nb):
+                            hi = cut[b]
+                            if hi > lo:
+                                rows["kind"].append(1)
+                                rows["bucket"].append(b)
+                                rows["pay1"].append(
+                                    gd_local[lo:hi].tobytes()
+                                )
+                                rows["pay2"].append(gl[lo:hi].tobytes())
+                                rows["pay3"].append(gw[lo:hi].tobytes())
+                                rows["l1"].append(0.0)
+                                rows["active"].append(bucket)
+                                rows["nrows"].append(int(hi - lo))
+                            lo = hi
+            elif send is not None:
                 n_nan = int(np.isnan(send).sum())
                 if n_nan < len(send):
                     all_sent = n_nan == 0 and not use_weights
@@ -550,6 +665,7 @@ def run_fused(
                                     verts_local[lo:hi].tobytes()
                                 )
                                 rows["pay2"].append(vals[lo:hi].tobytes())
+                                rows["pay3"].append(b"")
                                 rows["l1"].append(0.0)
                                 # sender bucket: the deterministic
                                 # combine-order key on the receive side
@@ -588,6 +704,7 @@ def run_fused(
             F.col("id").cast("int").alias("bucket"),
             F.lit(b"").alias("pay1"),
             F.lit(b"").alias("pay2"),
+            F.lit(b"").alias("pay3"),
             F.lit(0.0).alias("l1"),
             F.lit(0).cast("long").alias("active"),
             F.lit(0).cast("long").alias("nrows"),

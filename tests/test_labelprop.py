@@ -101,3 +101,59 @@ def test_lp_weighted_votes(spark):
         for r in label_propagation(g, max_iterations=1).collect()
     }
     assert got_u[0] == 1
+
+
+def test_lp_fused_matches_classic(spark):
+    """Fused (labelvote-reducer) LP == classic DataFrame LP, exactly —
+    unweighted and weighted, fixed-iteration and converged runs."""
+    from graph_data_science_spark.operators.labelprop import build_lp_csr
+
+    rnd = random.Random(13)
+    n = 150
+    edges = list({(rnd.randrange(n), rnd.randrange(n)) for _ in range(700)})
+    edges = [(s, d, round(rnd.uniform(0.5, 2.0), 3)) for s, d in edges if s != d]
+    g = from_edge_list(
+        spark,
+        [(f"{s:04d}", f"{d:04d}", w) for s, d, w in edges],
+        node_ids=[f"{i:04d}" for i in range(n)],
+    )
+    for weighted in (False, True):
+        for iters, chunk in ((3, 1), (12, 4)):
+            classic = {
+                r["internal_id"]: r["label"]
+                for r in label_propagation(
+                    g, max_iterations=iters, weighted=weighted
+                ).collect()
+            }
+            csr = build_lp_csr(g, n_buckets=6)
+            metrics = {}
+            fused = {
+                r["internal_id"]: r["label"]
+                for r in label_propagation(
+                    g,
+                    max_iterations=iters,
+                    weighted=weighted,
+                    csr=csr,
+                    chunk_size=chunk,
+                    metrics_out=metrics,
+                ).collect()
+            }
+            csr.cleanup()
+            assert fused == classic
+            assert metrics["ran_iterations"] <= iters
+
+
+def test_lp_fused_rejects_seeded_and_node_weighted(spark):
+    from graph_data_science_spark.operators.labelprop import build_lp_csr
+
+    g = from_edge_list(spark, [(0, 1), (1, 2)])
+    csr = build_lp_csr(g, n_buckets=2)
+    try:
+        import pytest
+
+        with pytest.raises(ValueError):
+            label_propagation(g, seed_property="seed", csr=csr)
+        with pytest.raises(ValueError):
+            label_propagation(g, node_weight_property="w", csr=csr)
+    finally:
+        csr.cleanup()
