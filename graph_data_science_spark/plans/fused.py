@@ -759,8 +759,19 @@ def run_fused(
                     out = out.observe(obs, *_obs_metrics(f"fused_{it}"))
                     observations.append((it, obs))
                     cur = out
+                per_bucket = None
                 if checkpoint is not None:
                     cur = checkpoint.write_state(cur, t + todo - 1)
+                    # per-partition lineage (north rule): the kind-0 state
+                    # rows carry per-bucket rows/l1 — read them back from
+                    # the just-written checkpoint (column-pruned scan of
+                    # n_buckets tiny rows, negligible)
+                    per_bucket = [
+                        (r["bucket"], r["nrows"], float(r["l1"] or 0.0))
+                        for r in cur.filter(F.col("kind") == 0)
+                        .select("bucket", "nrows", "l1")
+                        .collect()
+                    ]
                 else:
                     before = _persistent_ids()
                     cur = loop_checkpoint(cur, chunk_no)
@@ -779,9 +790,15 @@ def run_fused(
                 }
                 all_metrics.append(metrics)
                 if checkpoint is not None:
-                    checkpoint.write_lineage(
-                        it, [(0, metrics["rows"], metrics["l1"])], per_ss
+                    # chunk-end superstep: true per-bucket lineage rows;
+                    # intra-chunk supersteps exist only as shuffle files,
+                    # so their lineage is the observed aggregate
+                    lineage = (
+                        per_bucket
+                        if it == t + todo - 1 and per_bucket
+                        else [(-1, metrics["rows"], metrics["l1"])]
                     )
+                    checkpoint.write_lineage(it, lineage, per_ss)
                 if metrics["active"] == 0 or (
                     converged_fn is not None and converged_fn(metrics)
                 ):

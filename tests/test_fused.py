@@ -97,6 +97,12 @@ def test_fused_checkpoint_resume_identical(spark, tmp_path):
     assert its == list(range(1, 13))
     cols = set(lin.columns)
     assert {"iteration", "rows", "delta_norm", "wall_time"} <= cols
+    # per-partition lineage (north rule): at chunk_size=1 every superstep
+    # is a chunk end, so each iteration carries one row per bucket whose
+    # row counts sum to |V|
+    it1 = lin.filter(lin.iteration == 1).collect()
+    assert sorted(r["partition_id"] for r in it1) == [0, 1, 2, 3]
+    assert sum(r["rows"] for r in it1) == n
 
 
 def test_fused_l1_convergence_and_metrics(spark):

@@ -297,8 +297,8 @@ Same harness and pinning as the primary tables; job = min-label WCC on
 the fused kernel over the symmetrized corpus edge set
 ({main_pair['edges']:,} sym edges, {n_repos:,} repos), run to
 convergence ({main_pair['supersteps']} supersteps — a pure function of
-the graph, identical at both parallelism levels), after one full
-convergence warmup run.
+the graph, identical at both parallelism levels), after a 2-superstep
+warmup that primes JIT/Arrow and the per-worker CSR block caches.
 
 | parallelism | wall sec (runs) | edges/s (runs) | edges/s median |
 |---|---|---|---|
