@@ -60,6 +60,7 @@ def label_propagation(
     csr=None,
     chunk_size: int = 1,
     metrics_out: dict | None = None,
+    checkpoint=None,
 ) -> DataFrame:
     """Returns (internal_id long, label long, ran_iterations metadata on df).
 
@@ -85,6 +86,12 @@ def label_propagation(
             weighted=weighted,
             chunk_size=chunk_size,
             metrics_out=metrics_out,
+            checkpoint=checkpoint,
+        )
+    if checkpoint is not None:
+        raise ValueError(
+            "checkpoint stores are supported on the fused kernel only; "
+            "pass csr=build_lp_csr(graph)"
         )
     vertices = graph.vertices
 
@@ -168,6 +175,7 @@ def _labelprop_fused(
     weighted: bool,
     chunk_size: int,
     metrics_out: dict | None = None,
+    checkpoint=None,
 ) -> DataFrame:
     """Synchronous LP on the fused kernel: state = one f64 label per
     vertex (ids < 2^53 exact in doubles); every vertex re-broadcasts its
@@ -208,6 +216,7 @@ def _labelprop_fused(
         use_weights=weighted,
         chunk_size=chunk_size,
         spark=graph.spark,
+        checkpoint=checkpoint,
     )
     if metrics_out is not None:
         # superstep 1 is init+send; vote rounds = supersteps - 1

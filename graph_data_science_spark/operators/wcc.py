@@ -58,6 +58,7 @@ def wcc(
     csr=None,
     chunk_size: int = 1,
     metrics_out: dict | None = None,
+    checkpoint=None,
 ) -> DataFrame:
     """Returns (internal_id long, component long).
 
@@ -65,7 +66,12 @@ def wcc(
     the fused blob-state kernel (plans/fused.py) — the 100-TB path: one
     applyInPandas round-trip per superstep, ``min``-reduced packed
     messages, frontier = changed labels only. Unsupported with
-    ``threshold``/``seed_property`` (classic kernel handles those)."""
+    ``threshold``/``seed_property`` (classic kernel handles those).
+
+    ``checkpoint``: a ``plans.checkpoint.CheckpointStore`` (fused path
+    only). Each chunk-end superstep persists vertex state AND in-flight
+    frontier messages plus per-bucket lineage rows; a later call with the
+    same store resumes mid-convergence byte-identically."""
     if csr is not None:
         if threshold is not None or seed_property is not None:
             raise ValueError(
@@ -78,6 +84,12 @@ def wcc(
             max_iterations=max_iterations,
             chunk_size=chunk_size,
             metrics_out=metrics_out,
+            checkpoint=checkpoint,
+        )
+    if checkpoint is not None:
+        raise ValueError(
+            "checkpoint stores are supported on the fused kernel only; "
+            "pass csr=build_wcc_csr(graph)"
         )
     # Shared seed labels may span disconnected components (GDS seeded
     # semantics: same seed => same community id). Pointer-jumping assumes
@@ -161,6 +173,7 @@ def _wcc_fused(
     max_iterations: int,
     chunk_size: int,
     metrics_out: dict | None = None,
+    checkpoint=None,
 ) -> DataFrame:
     """Min-label propagation on the fused kernel: state = one f64 label
     per vertex (ids < 2^53 exact in doubles), messages = changed labels
@@ -201,11 +214,12 @@ def _wcc_fused(
         reducer="min",
         chunk_size=chunk_size,
         spark=graph.spark,
+        checkpoint=checkpoint,
     )
     if metrics_out is not None:
         metrics_out["ran_iterations"] = result.ran_iterations
         metrics_out["converged"] = result.converged
-    if not result.converged:
+    if not result.converged and checkpoint is None:
         # never return a silently partial assignment: pure min-label needs
         # O(diameter) supersteps (no pointer-jumping over blob state) —
         # high-diameter graphs should raise max_iterations or take the

@@ -157,3 +157,43 @@ def test_lp_fused_rejects_seeded_and_node_weighted(spark):
             label_propagation(g, node_weight_property="w", csr=csr)
     finally:
         csr.cleanup()
+
+
+def test_lp_fused_checkpoint_resume_identical(spark, tmp_path):
+    """North-rule resume on LP: a fused run capped at 4 vote rounds
+    resumes from the checkpoint store and matches an uninterrupted
+    12-round run exactly (synchronous schedule preserved across the
+    resume boundary because in-flight votes are checkpointed too)."""
+    from graph_data_science_spark.operators.labelprop import build_lp_csr
+    from graph_data_science_spark.plans.checkpoint import CheckpointStore
+
+    rnd = random.Random(29)
+    n = 120
+    edges = list({(rnd.randrange(n), rnd.randrange(n)) for _ in range(500)})
+    g = from_edge_list(
+        spark,
+        [(f"{s:03d}", f"{d:03d}") for s, d in edges if s != d],
+        node_ids=[f"{i:03d}" for i in range(n)],
+    )
+    csr = build_lp_csr(g, n_buckets=5)
+    try:
+        expected = {
+            r["internal_id"]: r["label"]
+            for r in label_propagation(
+                g, max_iterations=12, csr=csr
+            ).collect()
+        }
+        store = CheckpointStore(spark, str(tmp_path / "ck"))
+        label_propagation(
+            g, max_iterations=4, csr=csr, checkpoint=store, chunk_size=2
+        ).collect()
+        resumed = {
+            r["internal_id"]: r["label"]
+            for r in label_propagation(
+                g, max_iterations=12, csr=csr, checkpoint=store,
+                chunk_size=2,
+            ).collect()
+        }
+        assert resumed == expected
+    finally:
+        csr.cleanup()

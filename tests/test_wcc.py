@@ -156,3 +156,42 @@ def test_fused_wcc_matches_classic(spark):
             csr2.cleanup()
     finally:
         csr.cleanup()
+
+
+def test_fused_wcc_checkpoint_resume_identical(spark, tmp_path):
+    """North-rule resume on WCC: the chunk-end checkpoint persists both
+    vertex labels AND the in-flight frontier messages, so a run capped
+    mid-convergence resumes from the store and lands on exactly the
+    classic assignment, with per-bucket lineage rows recorded."""
+    from graph_data_science_spark.operators.wcc import build_wcc_csr
+    from graph_data_science_spark.plans.checkpoint import CheckpointStore
+
+    chain = from_edge_list(
+        spark, [(i, i + 1) for i in range(40)], node_ids=range(41)
+    )
+    expected = sorted(
+        (r["internal_id"], r["component"]) for r in wcc(chain).collect()
+    )
+    csr = build_wcc_csr(chain, n_buckets=4)
+    try:
+        store = CheckpointStore(spark, str(tmp_path / "ck"))
+        m1: dict = {}
+        # interrupted leg: budget (10) << chain diameter (40); with a
+        # store this returns partial state instead of raising
+        wcc(chain, csr=csr, max_iterations=10, checkpoint=store,
+            chunk_size=5, metrics_out=m1).collect()
+        assert m1["converged"] is False and m1["ran_iterations"] == 10
+        m2: dict = {}
+        resumed = sorted(
+            (r["internal_id"], r["component"])
+            for r in wcc(
+                chain, csr=csr, max_iterations=100, checkpoint=store,
+                chunk_size=5, metrics_out=m2,
+            ).collect()
+        )
+        assert resumed == expected
+        assert m2["converged"] is True
+        lin = store.lineage()
+        assert lin.filter(lin.iteration == 10).count() == 4  # per-bucket
+    finally:
+        csr.cleanup()
