@@ -822,6 +822,35 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus dedup composition: near-dup pairs (n-gram Jaccard here;
+    same shape as the LSH outputs) -> connected components via the WCC
+    engine -> canonical doc per cluster."""
+    from .pipeline.text import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _documents(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD)
+    return dedup_clusters(pairs, docs)
+
+
+def sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE
+base AS ({sql_ngram_jaccard().strip()}),
+sym AS (SELECT doc1 AS a, doc2 AS b FROM base
+        UNION SELECT doc2, doc1 FROM base),
+reach(id, lab) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.id
+),
+comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def sql_ngram_jaccard() -> str:
     return f"""
 WITH toks AS (SELECT doc_id,
@@ -965,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
         "minhash_dedup": q_minhash_dedup,
@@ -1000,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": sql_doc_fingerprint(),
         "exact_dedup": sql_exact_dedup(),
         "ngram_jaccard_dedup": sql_ngram_jaccard(),
+        "dedup_clusters": sql_dedup_clusters(),
         "lang_id": sql_lang_id(),
         "embedding_topk": sql_embedding_topk(),
         # minhash_dedup / simhash / embedding_topk_lsh: engine-specific

@@ -358,3 +358,64 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id").join(pred, "doc_id", "left").select(
         "doc_id", F.coalesce("pred_lang", F.lit("und")).alias("pred_lang")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    *,
+    doc_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc1", "doc2"),
+) -> DataFrame:
+    """(doc_id, cluster_id, keep): duplicate clusters = connected
+    components over near-duplicate candidate pairs (the standard
+    web-corpus dedup shape: LSH/ngram pairs -> transitive closure ->
+    one canonical doc per cluster). ``cluster_id`` is the smallest
+    doc_id in the component; ``keep`` marks that canonical doc. Docs in
+    no pair become singleton clusters when ``docs`` is given.
+
+    Scale path: reuses the WCC engine (pointer-jumping min-label, O(log
+    n) rounds) over the pair graph — the pair table is the output of a
+    banded-LSH join, so the component step inherits its scalability;
+    the final docs join is a broadcast when the pair-touched id set is
+    small (typical: dup rate << corpus size)."""
+    from ..graph import from_edge_df
+    from ..operators.wcc import wcc as _wcc
+
+    e = pairs.select(
+        F.col(pair_cols[0]).alias("src"), F.col(pair_cols[1]).alias("dst")
+    )
+    g = from_edge_df(e)
+    comp = _wcc(g)
+    # internal ids are order-isomorphic to original ids, so the min
+    # internal id of a component maps to the min original doc_id
+    ids = g.vertices.select(
+        F.col("internal_id").alias("__i"),
+        F.col("original_id").cast("long").alias("__o"),
+    )
+    clustered = (
+        comp.join(ids, comp.internal_id == ids.__i)
+        .select(F.col("__o").alias(doc_col), "component")
+        .join(
+            ids.select(
+                F.col("__i").alias("component"),
+                F.col("__o").alias("cluster_id"),
+            ),
+            "component",
+        )
+        .select(doc_col, "cluster_id")
+    )
+    if docs is not None:
+        clustered = (
+            docs.select(F.col(doc_col).cast("long").alias(doc_col))
+            .join(clustered, doc_col, "left")
+            .select(
+                doc_col,
+                F.coalesce("cluster_id", F.col(doc_col)).alias("cluster_id"),
+            )
+        )
+    return clustered.select(
+        doc_col,
+        "cluster_id",
+        (F.col(doc_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -200,3 +200,27 @@ def test_cosine_neardup_dedup_greedy_rule(spark):
     }
     # 1 is a near-dup of 0 (drop); 0 keeps (no smaller partner); 2,3 unique
     assert out == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    """Pairs (1,2),(2,3) and (7,9) -> clusters {1,2,3} and {7,9};
+    untouched docs are singleton clusters; keep marks the min doc."""
+    from graph_data_science_spark.pipeline.text import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 7)], "doc1 long, doc2 long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(pairs, docs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (5, True), 7: (7, True), 9: (7, False),
+    }
+    # without docs: only pair-touched ids appear
+    ids = {r["doc_id"] for r in dedup_clusters(pairs).collect()}
+    assert ids == {1, 2, 3, 7, 9}
