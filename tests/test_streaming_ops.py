@@ -71,7 +71,10 @@ def _run_stream(df_stream, transform, out_name, *, output_mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow drains all input then stops; returns False on timeout
+    # (no exception), which would surface as a confusing data assertion
+    # under heavy host load — fail loudly instead
+    assert q.awaitTermination(300), "stream did not finish within 300s"
     return q
 
 
