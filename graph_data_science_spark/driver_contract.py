@@ -928,21 +928,100 @@ SELECT vec_id, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
 """
 
 
+MINHASH_PERM = 32
+MINHASH_BANDS = 8
+MINHASH_EST = 0.3
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (MinHash uses engine-specific xxhash64): candidate
-    near-dup pairs from banded LSH refined by signature agreement."""
+    """Candidate near-dup pairs from banded MinHash LSH refined by
+    signature agreement. The portable md5-based base hash makes the whole
+    pipeline (signatures, band buckets, estimator) recomputable in DuckDB
+    — an exact value oracle, not a rows-only check."""
     from .pipeline.text import minhash_dedup
 
     return minhash_dedup(
-        _documents(spark, sf_dir), n=NGRAM_N, min_jaccard_est=0.3
+        _documents(spark, sf_dir),
+        num_perm=MINHASH_PERM,
+        bands=MINHASH_BANDS,
+        n=NGRAM_N,
+        min_jaccard_est=MINHASH_EST,
     )
 
 
+def sql_minhash_dedup() -> str:
+    from .pipeline.text import MERSENNE, minhash_coefficients
+
+    coeffs = minhash_coefficients(MINHASH_PERM)
+    rpb = MINHASH_PERM // MINHASH_BANDS
+    perm_mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {MERSENNE}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(MINHASH_PERM)) + "]"
+    band_keys = ", ".join(
+        f"('0x' || substr(md5(array_to_string("
+        f"sig[{b * rpb + 1}:{(b + 1) * rpb}], '|')), 1, 15))::BIGINT AS k{b}"
+        for b in range(MINHASH_BANDS)
+    )
+    band_case = " ".join(
+        f"WHEN {b} THEN k{b}" for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM_N - 1}], ' ')
+       AS shingle FROM toks,
+       UNNEST(range(1, len(t) - {NGRAM_N - 2})) AS u(i)),
+hs AS (SELECT doc_id,
+       ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE} AS h
+       FROM sh),
+sigs AS (SELECT doc_id, {perm_mins} FROM hs GROUP BY doc_id),
+sigl AS (SELECT doc_id, {sig_list} AS sig FROM sigs),
+banded AS (SELECT doc_id, {band_keys} FROM sigl),
+bl AS (SELECT doc_id, u.band, CASE u.band {band_case} END AS bucket
+       FROM banded, UNNEST(range(0, {MINHASH_BANDS})) AS u(band)),
+cands AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM bl a JOIN bl b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id GROUP BY 1, 2),
+est AS (SELECT doc1, doc2,
+        len(list_filter(range(1, {MINHASH_PERM + 1}),
+            i -> s1.sig[i] = s2.sig[i])) / {MINHASH_PERM}.0 AS jaccard_est
+        FROM cands JOIN sigl s1 ON s1.doc_id = doc1
+                   JOIN sigl s2 ON s2.doc_id = doc2)
+SELECT doc1, doc2, jaccard_est FROM est WHERE jaccard_est >= {MINHASH_EST}
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: 64-bit SimHash signatures (engine-specific hash)."""
+    """SimHash signatures over the portable md5-based 60-bit token hash —
+    bit-identical recomputation in DuckDB is the oracle."""
     from .pipeline.text import simhash
 
     return simhash(_documents(spark, sf_dir))
+
+
+def sql_simhash() -> str:
+    from .pipeline.text import simhash_bits
+
+    nbits = simhash_bits("md5")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(nbits)
+    )
+    sim_expr = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END"
+        for i in range(nbits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+tok AS (SELECT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)),
+hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       FROM tok),
+votes AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id)
+SELECT doc_id, {sim_expr} AS simhash FROM votes
+"""
 
 
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,7 +1112,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": sql_dedup_clusters(),
         "lang_id": sql_lang_id(),
         "embedding_topk": sql_embedding_topk(),
-        # minhash_dedup / simhash / embedding_topk_lsh: engine-specific
-        # hashing or approximate recall — rows-only checks by design
+        "minhash_dedup": sql_minhash_dedup(),
+        "simhash": sql_simhash(),
+        # embedding_topk_lsh: approximate recall — rows-only by design
+        # (random hyperplanes are engine-side numpy; see the
+        # ann_lsh_validity sibling for its invariant oracle)
         **_ext_oracle_sql(),
     }

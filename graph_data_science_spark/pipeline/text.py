@@ -2,10 +2,17 @@
 table.
 
 Everything in the hot path is built-in ``pyspark.sql.functions`` (JVM,
-whole-stage codegen); MinHash/SimHash signatures use ``xxhash64`` (JVM) on
-exploded shingles followed by ``groupBy().agg(min/bit-ops)`` — no Python at
-all. Designed for 10^9-document scale: dedup joins are
-band-bucket-partitioned (LSH), never all-pairs.
+whole-stage codegen); MinHash/SimHash signatures hash exploded shingles
+JVM-side followed by ``groupBy().agg(min/bit-ops)`` — no Python at all.
+Designed for 10^9-document scale: dedup joins are band-bucket-partitioned
+(LSH), never all-pairs.
+
+Base hash: the default is a 60-bit value parsed from ``md5`` — slower per
+shingle than ``xxhash64`` but bit-identical in any engine that has md5
+(the sf0.01 correctness gate recomputes full MinHash/SimHash in DuckDB and
+value-hash-compares). Pass ``base_hash="xxhash64"`` to trade portability
+for ~3× cheaper hashing on petabyte runs; every downstream op is
+hash-agnostic.
 """
 
 from __future__ import annotations
@@ -121,6 +128,31 @@ def ngram_jaccard_pairs(
 MERSENNE = (1 << 31) - 1
 
 
+def _base_hash(col, base_hash: str):
+    """Engine-portable 60-bit hash (top 15 hex digits of md5 — identical
+    in Spark and DuckDB, both JVM/codegen-side), or xxhash64 (Spark-only,
+    cheaper) when portability doesn't matter."""
+    if base_hash == "xxhash64":
+        return F.xxhash64(col)
+    if base_hash != "md5":
+        raise ValueError(f"unknown base_hash {base_hash!r}")
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_coefficients(
+    num_perm: int = 32, seed: int = 17
+) -> list[tuple[int, int]]:
+    """The (a_i, b_i) permutation coefficients — exposed so an external
+    oracle can regenerate the exact same permutations."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -128,21 +160,16 @@ def minhash_signatures(
     n: int = 3,
     seed: int = 17,
     text_col: str = "text",
+    base_hash: str = "md5",
 ) -> DataFrame:
     """(doc_id, sig array<long>): per-permutation min of
-    ``(a_i * xxhash64(shingle) + b_i) mod 2^61-1``. All-JVM: explode
+    ``(a_i * hash(shingle) + b_i) mod 2^31-1``. All-JVM: explode
     shingles once, one groupBy with ``min(...)`` per permutation (map-side
     partial agg keeps the shuffle tiny)."""
-    import random
-
-    rnd = random.Random(seed)
-    coeffs = [
-        (rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE))
-        for _ in range(num_perm)
-    ]
+    coeffs = minhash_coefficients(num_perm, seed)
     sh = shingles(docs, n, text_col)
     h = sh.withColumn(
-        "h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE))
+        "h", F.pmod(_base_hash(F.col("shingle"), base_hash), F.lit(MERSENNE))
     )
     aggs = [
         F.min(
@@ -173,18 +200,27 @@ def minhash_lsh_candidates(
     certainly pair up through their other, more selective bands; exact
     duplicates belong to exact_dedup anyway). None disables the guard."""
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    # bucket = portable 60-bit hash of the band's signature slice (joined
+    # as a string): same join-key cardinality as a murmur hash, but any
+    # engine can recompute it — the sf0.01 gate's DuckDB oracle does
     banded = sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(
-                    F.slice(
-                        F.col("sig"),
-                        b * rows_per_band + 1,
-                        rows_per_band,
+                lambda b: _base_hash(
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
                     ),
-                    b,
+                    "md5",
                 ),
             )
         ).alias("band", "bucket"),
@@ -215,11 +251,12 @@ def minhash_dedup(
     n: int = 3,
     min_jaccard_est: float = 0.5,
     text_col: str = "text",
+    base_hash: str = "md5",
 ) -> DataFrame:
     """(doc1, doc2, jaccard_est): LSH candidates refined by the signature
     agreement rate (the unbiased Jaccard estimator)."""
     sigs = minhash_signatures(
-        docs, num_perm=num_perm, n=n, text_col=text_col
+        docs, num_perm=num_perm, n=n, text_col=text_col, base_hash=base_hash
     ).cache()
     cands = minhash_lsh_candidates(sigs, bands=bands)
     s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"))
@@ -244,23 +281,33 @@ def minhash_dedup(
     return est.filter(F.col("jaccard_est") >= min_jaccard_est)
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long): 64-bit SimHash over token xxhash64 values —
-    per-bit majority vote, computed as 64 conditional sums in one groupBy."""
+def simhash_bits(base_hash: str = "md5") -> int:
+    """Signature width: the md5-derived portable hash carries 60 usable
+    bits; xxhash64 the full 64."""
+    return 60 if base_hash == "md5" else 64
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", base_hash: str = "md5"
+) -> DataFrame:
+    """(doc_id, simhash long): SimHash over token hash values — per-bit
+    majority vote, computed as one conditional sum per bit in one groupBy
+    (60 bits for the portable md5 hash, 64 for xxhash64)."""
+    nbits = simhash_bits(base_hash)
     tok = docs.select(
         "doc_id", F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _base_hash(F.col("tok"), base_hash))
     aggs = [
         F.sum(
             F.when(
                 F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     votes = tok.groupBy("doc_id").agg(*aggs)
     out = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         bit = (1 << i) if i < 63 else -(1 << 63)  # sign bit in two's complement
         out = out + F.when(F.col(f"b{i}") > 0, F.lit(bit)).otherwise(
             F.lit(0)
@@ -276,7 +323,9 @@ def simhash_near_dups(
     any pair within hamming distance 3 shares at least one of 4 blocks),
     verified by popcount. Block-join keeps this linear-ish at scale.
     ``max_bucket_size`` guards the k² blow-up of a boilerplate block
-    value (see minhash_lsh_candidates)."""
+    value (see minhash_lsh_candidates). Works unchanged for 60-bit md5
+    signatures: the four 16-bit blocks still partition the used bits
+    (the top block simply carries 12 effective bits)."""
     blocks = sim.select(
         "doc_id",
         "simhash",
