@@ -1024,14 +1024,70 @@ SELECT doc_id, {sim_expr} AS simhash FROM votes
 """
 
 
+ANN_DIM = 64  # testdata embeddings dim (all SFs); oracle planes match it
+ANN_LSH_BITS = 8
+ANN_LSH_TABLES = 4
+ANN_LSH_SEED = 5
+
+
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: approximate ANN (recall<1 by design — no oracle)."""
+    """Approximate ANN via random-hyperplane LSH. The hyperplanes are
+    seeded and deterministic, so the DuckDB oracle inlines the exact same
+    plane literals and recomputes buckets → candidates → cosines — an
+    exact value oracle for the approximate operator (recall<1 vs the
+    brute-force `embedding_topk` is by design; identity vs the oracle is
+    the check)."""
     from .pipeline.ann import cosine_topk_lsh
 
-    out = cosine_topk_lsh(_embeddings(spark, sf_dir), k=ANN_TOPK)
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    assert dim == ANN_DIM, (
+        f"embeddings dim {dim} != oracle plane dim {ANN_DIM}; "
+        "regenerate sql_embedding_topk_lsh with the data's dim"
+    )
+    out = cosine_topk_lsh(
+        emb, k=ANN_TOPK, bits=ANN_LSH_BITS, tables=ANN_LSH_TABLES,
+        seed=ANN_LSH_SEED,
+    )
     return out.select(
         "vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
     )
+
+
+def sql_embedding_topk_lsh() -> str:
+    from .pipeline.ann import _hyperplanes
+
+    rows = []
+    for t in range(ANN_LSH_TABLES):
+        planes = _hyperplanes(ANN_DIM, ANN_LSH_BITS, t, ANN_LSH_SEED)
+        for i in range(ANN_LSH_BITS):
+            # repr() round-trips doubles exactly; DuckDB parses decimal
+            # literals to nearest double = the identical bit pattern the
+            # Spark side embeds via F.lit
+            lst = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+            rows.append(f"({t}, {1 << i}, {lst}::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(t, bit, p) AS (VALUES {values}),
+sigs AS (SELECT e.vec_id, pl.t,
+         SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                  THEN pl.bit ELSE 0 END)::BIGINT AS bucket
+         FROM e, planes pl GROUP BY e.vec_id, pl.t),
+cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+         FROM sigs a JOIN sigs b
+         ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id),
+scored AS (SELECT c.vec_id, c.neighbor_id,
+           list_dot_product(ea.v, eb.v) /
+           (sqrt(list_dot_product(ea.v, ea.v)) *
+            sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+           FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
+                       JOIN e eb ON eb.vec_id = c.neighbor_id)
+SELECT vec_id, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored) WHERE rn <= {ANN_TOPK}
+"""
 
 
 # -- registry ------------------------------------------------------------
@@ -1114,8 +1170,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": sql_embedding_topk(),
         "minhash_dedup": sql_minhash_dedup(),
         "simhash": sql_simhash(),
-        # embedding_topk_lsh: approximate recall — rows-only by design
-        # (random hyperplanes are engine-side numpy; see the
-        # ann_lsh_validity sibling for its invariant oracle)
+        "embedding_topk_lsh": sql_embedding_topk_lsh(),
         **_ext_oracle_sql(),
     }
