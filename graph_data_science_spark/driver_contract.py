@@ -810,6 +810,62 @@ GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
 """
 
 
+REP_TOP_N = 2
+REP_DUP_N = 5
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import repetition_scores
+
+    return repetition_scores(
+        _documents(spark, sf_dir), top_n=REP_TOP_N, dup_n=REP_DUP_N
+    )
+
+
+def sql_repetition_scores() -> str:
+    def gram_cte(n: int, name: str):
+        return f"""
+{name}0 AS (SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+       FROM base, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+       WHERE len(t) >= {n}),
+{name}g AS (SELECT doc_id, gram, COUNT(*) AS c FROM {name}0 GROUP BY 1, 2),
+{name}s AS (SELECT doc_id,
+        MAX(c * (length(gram) - {n - 1})) AS top_chars,
+        SUM(CASE WHEN c >= 2 THEN c * (length(gram) - {n - 1})
+            ELSE 0 END) AS dup_chars
+        FROM {name}g GROUP BY doc_id)"""
+
+    return f"""
+WITH base AS (SELECT doc_id,
+        string_split(text, chr(10)) AS lines,
+        regexp_split_to_array(trim(text), '\\s+') AS t,
+        length(array_to_string(regexp_split_to_array(trim(text), '\\s+'),
+               ''))::DOUBLE AS tchars
+      FROM documents),
+ln0 AS (SELECT doc_id, u.line FROM base, UNNEST(lines) AS u(line)),
+lng AS (SELECT doc_id, line, COUNT(*) AS c FROM ln0 GROUP BY 1, 2),
+lns AS (SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+        SUM(c * length(line)) AS line_chars,
+        SUM(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END)
+        AS dup_line_chars
+        FROM lng GROUP BY doc_id),{gram_cte(REP_TOP_N, "t")},{gram_cte(REP_DUP_N, "d")}
+SELECT b.doc_id,
+  ROUND(1.0 - lns.n_distinct / lns.n_lines, 6) AS dup_line_frac,
+  ROUND(CASE WHEN lns.line_chars > 0
+        THEN lns.dup_line_chars / lns.line_chars ELSE 0.0 END, 6)
+        AS dup_line_char_frac,
+  ROUND(LEAST(1.0, CASE WHEN b.tchars > 0
+        THEN COALESCE(ts.top_chars, 0) / b.tchars ELSE 0.0 END), 6)
+        AS top_ngram_char_frac,
+  ROUND(LEAST(1.0, CASE WHEN b.tchars > 0
+        THEN COALESCE(ds.dup_chars, 0) / b.tchars ELSE 0.0 END), 6)
+        AS dup_ngram_char_frac
+FROM base b JOIN lns ON lns.doc_id = b.doc_id
+            LEFT JOIN ts ON ts.doc_id = b.doc_id
+            LEFT JOIN ds ON ds.doc_id = b.doc_id
+"""
+
+
 NGRAM_N = 2
 NGRAM_THRESHOLD = 0.3
 
@@ -1126,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "repetition_scores": q_repetition_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard,
@@ -1162,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": sql_adamic_adar(),
         "token_count": sql_token_count(),
         "quality_score": sql_quality_score(),
+        "repetition_scores": sql_repetition_scores(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "exact_dedup": sql_exact_dedup(),
         "ngram_jaccard_dedup": sql_ngram_jaccard(),

@@ -47,6 +47,128 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_scores(
+    docs: DataFrame,
+    *,
+    top_n: int = 2,
+    dup_n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per doc:
+
+    - ``dup_line_frac``: 1 − distinct/total over ``\\n``-split lines — the
+      fraction of line slots occupied by repeats.
+    - ``dup_line_char_frac``: characters inside lines that occur ≥ 2
+      times (all occurrences) / total line characters.
+    - ``top_ngram_char_frac`` (word ``top_n``-grams, with multiplicity):
+      occurrences-of-most-frequent-gram × its token characters / total
+      token characters, capped at 1.0 (overlapping occurrences can
+      over-count on degenerate single-token docs).
+    - ``dup_ngram_char_frac`` (word ``dup_n``-grams): token characters
+      covered by grams occurring ≥ 2 times (counting every occurrence,
+      overlap-insensitive proxy — can reach the 1.0 cap on degenerate
+      docs) / total token characters.
+
+    High values flag boilerplate/spam for corpus filtering (cf. the
+    Gopher/MassiveText repetition filters). Pure JVM expressions: two
+    explode+groupBy passes (lines, grams) merged on doc_id; every
+    aggregation is map-side combinable, so the shuffles carry one row
+    per distinct (doc, line/gram). All four ratios are deterministic
+    integer ratios — the sf0.01 gate recomputes them exactly in DuckDB.
+    """
+    toks = tokens_col(text_col)
+    base = docs.select(
+        "doc_id",
+        F.split(F.col(text_col), "\n").alias("lines"),
+        toks.alias("t"),
+        F.length(F.concat_ws("", toks)).cast("double").alias("tchars"),
+    ).localCheckpoint(eager=False)
+
+    ln = (
+        base.select("doc_id", F.explode("lines").alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("line"))
+                .otherwise(F.lit(0))
+            ).alias("dup_line_chars"),
+        )
+    )
+
+    def gram_stats(n: int, prefix: str):
+        grams = F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        gchars = F.length("gram") - (n - 1)  # token chars (minus joins)
+        return (
+            base.select("doc_id", F.explode(grams).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max(F.col("c") * gchars).alias(f"{prefix}_top_chars"),
+                F.sum(
+                    F.when(F.col("c") >= 2, F.col("c") * gchars)
+                    .otherwise(F.lit(0))
+                ).alias(f"{prefix}_dup_chars"),
+            )
+        )
+
+    top = gram_stats(top_n, "t")
+    dup = gram_stats(dup_n, "d")
+    z = F.lit(0.0)
+    return (
+        base.select("doc_id", "tchars")
+        .join(ln, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_lines"), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(
+                    F.col("line_chars") > 0,
+                    F.col("dup_line_chars") / F.col("line_chars"),
+                ).otherwise(z),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.when(
+                        F.col("tchars") > 0,
+                        F.coalesce(F.col("t_top_chars"), z)
+                        / F.col("tchars"),
+                    ).otherwise(z),
+                ),
+                6,
+            ).alias("top_ngram_char_frac"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.when(
+                        F.col("tchars") > 0,
+                        F.coalesce(F.col("d_dup_chars"), z)
+                        / F.col("tchars"),
+                    ).otherwise(z),
+                ),
+                6,
+            ).alias("dup_ngram_char_frac"),
+        )
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint): md5 of whitespace-normalized lowercase text —
     the exact-dup grouping key that is stable across engines."""

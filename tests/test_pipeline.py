@@ -18,6 +18,7 @@ from graph_data_science_spark.pipeline.text import (
     minhash_dedup,
     ngram_jaccard_pairs,
     quality_score,
+    repetition_scores,
     simhash,
     simhash_near_dups,
     token_count,
@@ -43,6 +44,34 @@ def test_exact_dedup(spark):
     )
     out = {r["doc_id"]: r["copies"] for r in exact_dedup(d).collect()}
     assert out == {0: 2, 2: 1}  # whitespace-normalized group, min id kept
+
+
+def test_repetition_scores_hand_computed(spark):
+    d = _docs(
+        spark,
+        [
+            # lines ["a b","a b","c"]: 3 lines, 2 distinct; dup chars 6/7.
+            # tokens [a,b,a,b,c] (5 chars): top 2-gram "a b" x2 -> 4/5;
+            # the single 5-gram occurs once -> dup 0.
+            (0, "a b\na b\nc"),
+            # all distinct: every fraction 0 except top 2-gram 2/6
+            (1, "x y z w v u"),
+            # 10 repeated tokens: top 2-gram count 9 (capped at 1.0);
+            # every 5-gram is "p p p p p" x6 -> 6*5/10 capped at 1.0
+            (2, "p p p p p p p p p p"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_scores(d).collect()}
+    assert abs(out[0]["dup_line_frac"] - (1 - 2 / 3)) < 1e-6
+    assert abs(out[0]["dup_line_char_frac"] - 6 / 7) < 1e-6
+    assert abs(out[0]["top_ngram_char_frac"] - 4 / 5) < 1e-6
+    assert out[0]["dup_ngram_char_frac"] == 0.0
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["dup_line_char_frac"] == 0.0
+    assert abs(out[1]["top_ngram_char_frac"] - 2 / 6) < 1e-6
+    assert out[1]["dup_ngram_char_frac"] == 0.0
+    assert out[2]["top_ngram_char_frac"] == 1.0
+    assert out[2]["dup_ngram_char_frac"] == 1.0
 
 
 def test_ngram_jaccard_and_minhash_agree_on_planted_dup(spark):
