@@ -70,67 +70,98 @@ def repetition_scores(
       docs) / total token characters.
 
     High values flag boilerplate/spam for corpus filtering (cf. the
-    Gopher/MassiveText repetition filters). Pure JVM expressions: two
-    explode+groupBy passes (lines, grams) merged on doc_id; every
-    aggregation is map-side combinable, so the shuffles carry one row
-    per distinct (doc, line/gram). All four ratios are deterministic
-    integer ratios — the sf0.01 gate recomputes them exactly in DuckDB.
+    Gopher/MassiveText repetition filters). Pure JVM expressions, and
+    the 100-TB plan shape matters: lines and both gram widths explode in
+    ONE tagged pass, so the operator is a single parquet scan + a single
+    hash-partition by doc_id — every downstream aggregation and join
+    keys on doc_id (or a superset), so Spark elides their exchanges
+    entirely (audited in PLANS.md; the naive 3-pipeline formulation cost
+    4 scans / 6 exchanges of exploded rows). All four ratios are
+    deterministic integer ratios — the sf0.01 gate recomputes them
+    exactly in DuckDB.
     """
     toks = tokens_col(text_col)
+
+    entry_t = "array<struct<tag:string,e:string,chars:int>>"
+
+    def gram_entries(n: int, tag: str):
+        return F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.struct(
+                    F.lit(tag).alias("tag"),
+                    F.concat_ws(" ", F.slice("t", i + 1, n)).alias("e"),
+                    (
+                        F.length(F.concat_ws(" ", F.slice("t", i + 1, n)))
+                        - (n - 1)
+                    ).alias("chars"),
+                ),
+            ),
+        ).otherwise(F.array().cast(entry_t))
+
+    line_entries = F.transform(
+        "lines",
+        lambda l: F.struct(
+            F.lit("L").alias("tag"),
+            l.alias("e"),
+            F.length(l).alias("chars"),
+        ),
+    )
+
     base = docs.select(
         "doc_id",
         F.split(F.col(text_col), "\n").alias("lines"),
         toks.alias("t"),
         F.length(F.concat_ws("", toks)).cast("double").alias("tchars"),
-    ).localCheckpoint(eager=False)
+    ).repartition("doc_id")
 
-    ln = (
-        base.select("doc_id", F.explode("lines").alias("line"))
-        .groupBy("doc_id", "line")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_lines"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.sum(F.col("c") * F.length("line")).alias("line_chars"),
-            F.sum(
-                F.when(F.col("c") >= 2, F.col("c") * F.length("line"))
-                .otherwise(F.lit(0))
-            ).alias("dup_line_chars"),
-        )
+    entries = base.select(
+        "doc_id",
+        "tchars",
+        F.explode(
+            F.concat(
+                line_entries.cast(entry_t),
+                gram_entries(top_n, "T"),
+                gram_entries(dup_n, "D"),
+            )
+        ).alias("x"),
+    ).select(
+        "doc_id", "tchars", F.col("x.tag").alias("tag"),
+        F.col("x.e").alias("e"), F.col("x.chars").alias("chars"),
+    )
+    counts = entries.groupBy("doc_id", "tag", "e").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("chars").alias("chars"),  # functionally dependent on e
+        F.max("tchars").alias("tchars"),
+    )
+    stats = counts.groupBy("doc_id", "tag").agg(
+        F.max("tchars").alias("tchars"),
+        F.sum("c").alias("n_tot"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("chars")).alias("chars_all"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.col("chars"))
+            .otherwise(F.lit(0))
+        ).alias("chars_dup"),
+        F.max(F.col("c") * F.col("chars")).alias("top_chars"),
     )
 
-    def gram_stats(n: int, prefix: str):
-        grams = F.when(
-            F.size("t") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - n),
-                lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        gchars = F.length("gram") - (n - 1)  # token chars (minus joins)
-        return (
-            base.select("doc_id", F.explode(grams).alias("gram"))
-            .groupBy("doc_id", "gram")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("doc_id")
-            .agg(
-                F.max(F.col("c") * gchars).alias(f"{prefix}_top_chars"),
-                F.sum(
-                    F.when(F.col("c") >= 2, F.col("c") * gchars)
-                    .otherwise(F.lit(0))
-                ).alias(f"{prefix}_dup_chars"),
-            )
-        )
+    def per_tag(tag: str, col: str):
+        return F.max(F.when(F.col("tag") == tag, F.col(col)))
 
-    top = gram_stats(top_n, "t")
-    dup = gram_stats(dup_n, "d")
     z = F.lit(0.0)
     return (
-        base.select("doc_id", "tchars")
-        .join(ln, "doc_id", "left")
-        .join(top, "doc_id", "left")
-        .join(dup, "doc_id", "left")
+        stats.groupBy("doc_id")
+        .agg(
+            F.max("tchars").alias("tchars"),
+            per_tag("L", "n_tot").alias("n_lines"),
+            per_tag("L", "n_distinct").alias("n_distinct"),
+            per_tag("L", "chars_all").alias("line_chars"),
+            per_tag("L", "chars_dup").alias("dup_line_chars"),
+            per_tag("T", "top_chars").alias("t_top_chars"),
+            per_tag("D", "chars_dup").alias("d_dup_chars"),
+        )
         .select(
             "doc_id",
             F.round(
