@@ -231,8 +231,14 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+    # repartition the RAW docs by doc_id before exploding: the distinct
+    # on (doc_id, shingle) and every per-doc aggregation downstream
+    # (minhash sigs, jaccard sizes) then reuse this partitioning — the
+    # alternative shuffles the exploded shingle rows (~token-count × doc
+    # bytes) at every step
     return (
         docs.filter(F.size(toks) >= n)
+        .repartition("doc_id")
         .select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()
     )
@@ -447,7 +453,9 @@ def simhash(
     majority vote, computed as one conditional sum per bit in one groupBy
     (60 bits for the portable md5 hash, 64 for xxhash64)."""
     nbits = simhash_bits(base_hash)
-    tok = docs.select(
+    # raw docs shuffle once by doc_id; the 60/64-way vote aggregation
+    # then runs exchange-free on exploded tokens (see shingles())
+    tok = docs.repartition("doc_id").select(
         "doc_id", F.explode(tokens_col(text_col)).alias("tok")
     ).withColumn("h", _base_hash(F.col("tok"), base_hash))
     aggs = [
