@@ -1030,29 +1030,66 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_spanning_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle MST: distinct per-edge weights make the minimum
+    spanning forest unique (ref alpha/.../spanningTrees/Prim.java:48 — any
+    correct algorithm returns the same edge set), so the full edge list is
+    value-hash comparable against a DuckDB cut-property oracle. Runs on
+    the sparse mod graph so the oracle's per-edge lighter-subgraph
+    reachability CTE stays small."""
     from .operators.spanningtree import spanning_tree
 
-    # distinct weights -> unique MST; report total weight + edge count
-    li = _lineitem(spark, sf_dir).select("l_suppkey", "l_partkey").distinct()
-    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
-    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
-    canon = (
-        a.join(b, "pk")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-        .select(
-            F.col("a").alias("src"),
-            F.col("b").alias("dst"),
-            (F.col("a") * 1000 + F.col("b")).cast("double").alias("weight"),
-        )
+    e = edges_mod(spark, sf_dir)
+    canon = e.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    canon = canon.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        # unique weight per undirected edge for any suppkey < 100000
+        (F.col("a") * 100000 + F.col("b")).cast("double").alias("weight"),
     )
     g = from_edge_df(canon, weight="weight")
     tree = spanning_tree(g)
-    return tree.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-        F.round(F.sum("weight"), 6).alias("total_weight"),
+    # map internal ids back to original suppkeys and re-canonicalize
+    tree = _to_original(tree, g.vertices, "src", "src_id")
+    tree = _to_original(tree, g.vertices, "dst", "dst_id")
+    return tree.select(
+        F.least("src_id", "dst_id").alias("src"),
+        F.greatest("src_id", "dst_id").alias("dst"),
+        F.round("weight", 6).alias("weight"),
     )
+
+
+def sql_spanning_tree() -> str:
+    # Kruskal cut property: with all weights distinct, edge (a,b,w) is in
+    # the (unique) minimum spanning forest iff b is NOT reachable from a
+    # using only edges strictly lighter than w.
+    return f"""
+WITH RECURSIVE
+raw AS MATERIALIZED ({sql_edges_mod()}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         CAST(LEAST(src, dst) * 100000 + GREATEST(src, dst) AS DOUBLE) AS w
+  FROM raw
+),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM canon
+  UNION ALL SELECT b, a, w FROM canon
+),
+reach(ea, eb, ew, node) AS (
+  SELECT a, b, w, a FROM canon
+  UNION
+  SELECT r.ea, r.eb, r.ew, s.dst
+  FROM reach r JOIN sym s ON s.src = r.node AND s.w < r.ew
+)
+SELECT c.a AS src, c.b AS dst, ROUND(c.w, 6) AS weight
+FROM canon c
+WHERE NOT EXISTS (
+  SELECT 1 FROM reach r
+  WHERE r.ea = c.a AND r.eb = c.b AND r.node = c.b
+)
+"""
 
 
 def q_influence_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1793,6 +1830,7 @@ def ext_queries() -> dict:
         "pagerank_weighted": q_pagerank_weighted,
         "triangle_stream": q_triangle_stream,
         "balanced_triads": q_balanced_triads,
+        "spanning_tree": q_spanning_tree,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize": q_sessionize,
         # rows-only (no oracle: engine-specific hash / seeded numpy /
@@ -1803,7 +1841,6 @@ def ext_queries() -> dict:
         "knn": q_knn,
         "random_walk": q_random_walk,
         "node2vec": q_node2vec,
-        "spanning_tree": q_spanning_tree,
         "influence_celf": q_influence_celf,
         "all_shortest_paths": q_all_shortest_paths,
         # GraphSage + ML pipelines (invariant oracles)
@@ -1846,6 +1883,7 @@ def ext_oracle_sql() -> dict:
         "pagerank_weighted": sql_pagerank_weighted(),
         "triangle_stream": sql_triangle_stream(),
         "balanced_triads": sql_balanced_triads(),
+        "spanning_tree": sql_spanning_tree(),
         "windowed_event_counts": sql_windowed_event_counts(),
         "sessionize": sql_sessionize(),
         "k1coloring_validity": sql_k1coloring_validity(),
