@@ -797,6 +797,68 @@ def sql_doc_fingerprint() -> str:
     )
 
 
+DUP_SPAN_WINDOW = 8
+
+
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate windows (Lee et al. 2021 formulation);
+    the portable md5-60bit span hash lets DuckDB recompute every window
+    hash and duplicate count bit-identically."""
+    from .pipeline.text import duplicated_spans
+
+    return duplicated_spans(
+        _documents(spark, sf_dir), DUP_SPAN_WINDOW
+    )
+
+
+def sql_duplicated_spans() -> str:
+    w = DUP_SPAN_WINDOW
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+spans AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          ('0x' || substr(md5(array_to_string(t[i:i+{w - 1}], ' ')),
+           1, 15))::BIGINT AS span_hash
+          FROM toks, UNNEST(range(1, len(t) - {w - 2})) AS u(i)
+          WHERE len(t) >= {w}),
+dup AS (SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs
+        FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT s.doc_id, s.pos, s.span_hash, d.n_docs
+FROM spans s JOIN dup d USING (span_hash)
+"""
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import duplicated_span_stats
+
+    return duplicated_span_stats(
+        _documents(spark, sf_dir), DUP_SPAN_WINDOW
+    )
+
+
+def sql_dup_span_stats() -> str:
+    w = DUP_SPAN_WINDOW
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+spans AS (SELECT doc_id, i AS pos,
+          ('0x' || substr(md5(array_to_string(t[i:i+{w - 1}], ' ')),
+           1, 15))::BIGINT AS span_hash
+          FROM toks, UNNEST(range(1, len(t) - {w - 2})) AS u(i)
+          WHERE len(t) >= {w}),
+dup AS (SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs
+        FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+per_doc AS (SELECT s.doc_id, COUNT(*) AS n_dup_spans
+            FROM spans s JOIN dup d USING (span_hash) GROUP BY 1)
+SELECT t.doc_id,
+       CAST(GREATEST(len(t.t) - {w - 1}, 0) AS BIGINT) AS n_spans,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       ROUND(COALESCE(p.n_dup_spans, 0)::DOUBLE
+             / GREATEST(GREATEST(len(t.t) - {w - 1}, 0), 1), 6) AS dup_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import exact_dedup
 
@@ -1185,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "duplicated_spans": q_duplicated_spans,
+        "dup_span_stats": q_dup_span_stats,
         "ngram_jaccard_dedup": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
@@ -1222,6 +1286,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": sql_repetition_scores(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "exact_dedup": sql_exact_dedup(),
+        "duplicated_spans": sql_duplicated_spans(),
+        "dup_span_stats": sql_dup_span_stats(),
         "ngram_jaccard_dedup": sql_ngram_jaccard(),
         "dedup_clusters": sql_dedup_clusters(),
         "lang_id": sql_lang_id(),

@@ -220,6 +220,98 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 10,
+    *,
+    text_col: str = "text",
+    base_hash: str = "md5",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, pos, span_hash, n_docs): every length-``window`` token
+    span (0-based start position) whose hash occurs in ≥ ``min_docs``
+    distinct documents — exact-substring duplicate detection at token
+    granularity (the Lee-et-al.-2021 "Deduplicating Training Data"
+    formulation, windowed: a repeated substring of length ≥ window shows
+    up as a run of duplicated windows, so downstream removal can cut the
+    exact repeated span, not the whole document).
+
+    Scale shape: span text never leaves the scan task — each document's
+    windows are hashed in the same JVM projection that slides them, so
+    only (doc_id, pos, hash) rows (~24 B) ever shuffle, and they shuffle
+    exactly ONCE (partitioned by span_hash); the exact distinct-document
+    count comes from two window functions over that one partitioning
+    (max-of-dense_rank ≡ COUNT(DISTINCT doc_id) OVER span_hash, which
+    Spark lacks natively). The groupBy+rejoin alternative scans the
+    corpus and computes every window hash twice — at 100 TB the md5 over
+    every token window IS the dominant cost, so one-pass wins.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - window),
+        lambda i: _base_hash(
+            F.concat_ws(" ", F.slice(toks, i + 1, window)), base_hash
+        ),
+    )
+    spans = docs.filter(F.size(toks) >= window).select(
+        "doc_id", F.posexplode(grams).alias("pos", "span_hash")
+    )
+    w_ord = Window.partitionBy("span_hash").orderBy("doc_id")
+    w_all = Window.partitionBy("span_hash")
+    return (
+        spans.withColumn("_dr", F.dense_rank().over(w_ord))
+        .withColumn("n_docs", F.max("_dr").over(w_all).cast("long"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "doc_id", F.col("pos").cast("long").alias("pos"),
+            "span_hash", "n_docs",
+        )
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    window: int = 10,
+    *,
+    text_col: str = "text",
+    base_hash: str = "md5",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, dup_frac): per-document fraction of
+    token windows that also occur in ≥ ``min_docs`` documents — the
+    rank-and-filter form of exact-substring dedup (drop or trim documents
+    above a duplicated-window fraction threshold)."""
+    dup = duplicated_spans(
+        docs, window, text_col=text_col, base_hash=base_hash,
+        min_docs=min_docs,
+    )
+    per_doc = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    toks = tokens_col(text_col)
+    base = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(toks) - window + 1, F.lit(0)
+        ).cast("long").alias("n_spans"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest("n_spans", F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle): word n-grams via a size-n sliding window
     (transform over token indices — pure JVM). Documents shorter than n

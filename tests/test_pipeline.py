@@ -253,3 +253,51 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     # without docs: only pair-touched ids appear
     ids = {r["doc_id"] for r in dedup_clusters(pairs).collect()}
     assert ids == {1, 2, 3, 7, 9}
+
+
+def test_duplicated_spans_hand_computed(spark):
+    from graph_data_science_spark.pipeline.text import (
+        duplicated_span_stats,
+        duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 4-token run "a b c d" (one window);
+            # doc 3 is unrelated; doc 4 is too short for any window
+            (1, "a b c d x y"),
+            (2, "z a b c d"),
+            (3, "p q r s t u"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, 4).collect()
+    got = sorted((r.doc_id, r.pos, r.n_docs) for r in spans)
+    # "a b c d" starts at token 0 in doc 1 and token 1 in doc 2
+    assert got == [(1, 0, 2), (2, 1, 2)]
+    assert len({r.span_hash for r in spans}) == 1
+
+    stats = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+        for r in duplicated_span_stats(docs, 4).collect()
+    }
+    assert stats[1] == (3, 1, round(1 / 3, 6))
+    assert stats[2] == (2, 1, 0.5)
+    assert stats[3] == (3, 0, 0.0)
+    assert stats[4] == (0, 0, 0.0)
+
+
+def test_duplicated_spans_within_doc_repeat_not_cross_doc(spark):
+    """min_docs=2 counts DISTINCT docs: a span repeated twice inside one
+    document is not a cross-corpus duplicate."""
+    from graph_data_science_spark.pipeline.text import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "m n o p m n o p"), (2, "q r s t")],
+        "doc_id long, text string",
+    )
+    assert duplicated_spans(docs, 4).count() == 0
+    # but with min_docs=1 the in-doc repeat shows up
+    rows = duplicated_spans(docs, 4, min_docs=1).collect()
+    assert {r.pos for r in rows if r.doc_id == 1} == {0, 1, 2, 3, 4}
