@@ -859,6 +859,47 @@ FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_trim_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (keep the corpus-canonical first
+    occurrence, cut every other occurrence's token range, keep the doc)."""
+    from .pipeline.text import trim_duplicated_spans
+
+    return trim_duplicated_spans(
+        _documents(spark, sf_dir), DUP_SPAN_WINDOW
+    )
+
+
+def sql_trim_dup_spans() -> str:
+    w = DUP_SPAN_WINDOW
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+spans AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          ('0x' || substr(md5(array_to_string(t[i:i+{w - 1}], ' ')),
+           1, 15))::BIGINT AS span_hash
+          FROM toks, UNNEST(range(1, len(t) - {w - 2})) AS u(i)
+          WHERE len(t) >= {w}),
+dup AS (SELECT span_hash FROM spans GROUP BY 1
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+ds AS (SELECT s.doc_id, s.pos,
+       ROW_NUMBER() OVER (PARTITION BY s.span_hash
+                          ORDER BY s.doc_id, s.pos) AS rn
+       FROM spans s JOIN dup USING (span_hash)),
+cut AS (SELECT DISTINCT doc_id, pos + k.k AS tok_i
+        FROM ds, UNNEST(range(0, {w})) AS k(k) WHERE rn > 1),
+tok_rows AS (SELECT doc_id, t[i] AS tok, CAST(i - 1 AS BIGINT) AS tok_i
+             FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+kept AS (SELECT tr.doc_id, tr.tok, tr.tok_i FROM tok_rows tr
+         WHERE NOT EXISTS (SELECT 1 FROM cut c
+                           WHERE c.doc_id = tr.doc_id
+                             AND c.tok_i = tr.tok_i)),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tok_i) AS text
+            FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.text, '') AS text
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import exact_dedup
 
@@ -1249,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "duplicated_spans": q_duplicated_spans,
         "dup_span_stats": q_dup_span_stats,
+        "trim_dup_spans": q_trim_dup_spans,
         "ngram_jaccard_dedup": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
@@ -1288,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": sql_exact_dedup(),
         "duplicated_spans": sql_duplicated_spans(),
         "dup_span_stats": sql_dup_span_stats(),
+        "trim_dup_spans": sql_trim_dup_spans(),
         "ngram_jaccard_dedup": sql_ngram_jaccard(),
         "dedup_clusters": sql_dedup_clusters(),
         "lang_id": sql_lang_id(),

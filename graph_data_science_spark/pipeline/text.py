@@ -271,6 +271,72 @@ def duplicated_spans(
     )
 
 
+def trim_duplicated_spans(
+    docs: DataFrame,
+    window: int = 10,
+    *,
+    text_col: str = "text",
+    base_hash: str = "md5",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, text): documents rebuilt with duplicated spans CUT OUT —
+    the removal step of exact-substring dedup (Lee et al. 2021: drop the
+    repeated span, keep the document). For every cross-corpus duplicated
+    window, the corpus-wide first occurrence (min (doc_id, pos)) is the
+    canonical copy and stays; every other occurrence's token range is
+    removed. Output text is whitespace-normalized (single spaces) — the
+    tokens are re-joined after cutting.
+
+    Scale shape: extends the one-shuffle `duplicated_spans` plan with a
+    same-partitioning canonical-pick window (no extra shuffle), one
+    (doc_id, token_index) explode of only the duplicated spans (tiny
+    vs the corpus), and one broadcast-or-shuffle join back to the docs
+    to rebuild — the full text shuffles at most once.
+    """
+    from pyspark.sql import Window
+
+    dup = duplicated_spans(
+        docs, window, text_col=text_col, base_hash=base_hash,
+        min_docs=min_docs,
+    )
+    w_hash = Window.partitionBy("span_hash")
+    canon = F.min(F.struct("doc_id", "pos")).over(w_hash)
+    noncanon = (
+        dup.withColumn("_c", canon)
+        .filter(
+            ~((F.col("_c.doc_id") == F.col("doc_id"))
+              & (F.col("_c.pos") == F.col("pos")))
+        )
+    )
+    cut = (
+        noncanon.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + window - 1)
+            ).alias("tok_i"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok_i").alias("_cut"))
+    )
+    toks = tokens_col(text_col)
+    return (
+        docs.join(cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.filter(
+                    toks,
+                    lambda t, i: F.coalesce(
+                        ~F.array_contains("_cut", i.cast("long")),
+                        F.lit(True),
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+
+
 def duplicated_span_stats(
     docs: DataFrame,
     window: int = 10,

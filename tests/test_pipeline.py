@@ -301,3 +301,35 @@ def test_duplicated_spans_within_doc_repeat_not_cross_doc(spark):
     # but with min_docs=1 the in-doc repeat shows up
     rows = duplicated_spans(docs, 4, min_docs=1).collect()
     assert {r.pos for r in rows if r.doc_id == 1} == {0, 1, 2, 3, 4}
+
+
+def test_trim_duplicated_spans_keeps_canonical_copy(spark):
+    from graph_data_science_spark.pipeline.text import trim_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y"),   # canonical "a b c d" (min doc_id, pos)
+            (2, "z a b c d"),     # duplicate occurrence -> cut
+            (3, "p q"),           # too short for any window -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in trim_duplicated_spans(docs, 4).collect()}
+    assert out[1] == "a b c d x y"
+    assert out[2] == "z"
+    assert out[3] == "p q"
+
+
+def test_trim_duplicated_spans_overlapping_windows_union(spark):
+    """A repeated run longer than the window is covered by the union of
+    its overlapping duplicated windows."""
+    from graph_data_science_spark.pipeline.text import trim_duplicated_spans
+
+    run = "a b c d e"  # length 5, window 4 -> two overlapping dup windows
+    docs = spark.createDataFrame(
+        [(1, run + " s t"), (2, "u v " + run)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in trim_duplicated_spans(docs, 4).collect()}
+    assert out[1] == run + " s t"
+    assert out[2] == "u v"
