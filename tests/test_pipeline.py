@@ -333,3 +333,47 @@ def test_trim_duplicated_spans_overlapping_windows_union(spark):
     out = {r.doc_id: r.text for r in trim_duplicated_spans(docs, 4).collect()}
     assert out[1] == run + " s t"
     assert out[2] == "u v"
+
+
+def test_ngram_containment_asymmetric(spark):
+    """An excerpt fully contained in a long doc scores 1.0 from the
+    excerpt's side but low Jaccard — the case containment exists for."""
+    from graph_data_science_spark.pipeline.text import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10, 16))  # inside long_doc
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt), (3, "x y z q r s")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc1, r.doc2): r.containment
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert cont[(2, 1)] == 1.0          # excerpt ⊂ long doc
+    assert (1, 2) not in cont           # long doc not contained in excerpt
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert jac == []                    # jaccard misses the pair entirely
+
+
+def test_token_count_bpe_vs_python_re(spark):
+    import re
+
+    from graph_data_science_spark.pipeline.text import (
+        BPE_SPLIT_RE,
+        token_count_bpe,
+    )
+
+    rows = [
+        (1, "Hello, world! It's 2026."),
+        (2, "don't    stop-me now: 3.14 costs $5"),
+        (3, "plain words only here"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_tokens for r in token_count_bpe(docs).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == len(re.findall(BPE_SPLIT_RE, text)), text
