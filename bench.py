@@ -79,7 +79,10 @@ def main() -> None:
             "BENCH_CORPUS_CACHE", f"/tmp/gds_bench_corpus_{n}.parquet"
         )
         if cache and os.path.exists(cache):
-            edges = spark.read.parquet(cache).localCheckpoint(eager=True)
+            # parquet on disk is already a stable, re-readable source; a
+            # localCheckpoint here would just materialize the 29M rows a
+            # second time before g.edges checkpoints them below
+            edges = spark.read.parquet(cache)
         else:
             corpus = synthesize_corpus(spark, n)
             # materialize the extracted edge table ONCE: from_edge_df runs

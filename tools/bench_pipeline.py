@@ -1,0 +1,173 @@
+"""Training-data-pipeline throughput evidence.
+
+Runs the headline pipeline operators (exact dedup, MinHash-LSH near-dup,
+duplicated-span detection + trim, token/quality scoring) over a
+deterministically synthesized document corpus with planted duplicates and
+prints ONE JSON line with per-op wall time and docs/sec + MB/sec.
+
+The corpus is a pure function of (seed, doc_id): ~10% exact duplicates,
+~10% near-duplicates (one token mutated), ~5% documents embedding a shared
+boilerplate span — so every dedup family finds real work. Synthesis is
+mapInPandas (Arrow-vectorized, embarrassingly parallel), same pattern as
+sources/corpus.py.
+
+Usage: python tools/bench_pipeline.py [n_docs]   (default 1_000_000)
+Env: BENCH_PIPE_CPUS (default all), BENCH_PIPE_HASH (md5|xxhash64,
+default xxhash64 — the cheap engine-local hash is the scale path; md5 is
+the oracle-portable one the contract checks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+WORDS = [f"w{i:03d}" for i in range(600)]
+BOILER = " ".join(f"boiler{i}" for i in range(24))
+
+
+def synthesize_docs(spark, n_docs: int):
+    from pyspark.sql import functions as F
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            texts = []
+            for i in ids:
+                rng = np.random.Generator(
+                    np.random.PCG64(int(i) * 2654435761 % (2**63))
+                )
+                kind = i % 20
+                # kinds 0-2 copy the kind-4 slot of the SAME block — that
+                # slot always takes the plain branch, so the copy chain is
+                # one level deep and the planted rates are exact
+                base = int(i - kind + 4)
+                if kind < 2:
+                    # exact duplicate of the block's plain doc
+                    rng = np.random.Generator(
+                        np.random.PCG64(base * 2654435761 % (2**63))
+                    )
+                    toks = rng.choice(WORDS, size=40 + base % 120)
+                    texts.append(" ".join(toks))
+                elif kind == 2:
+                    # near duplicate: one token changed
+                    rng = np.random.Generator(
+                        np.random.PCG64(base * 2654435761 % (2**63))
+                    )
+                    toks = list(rng.choice(WORDS, size=40 + base % 120))
+                    toks[len(toks) // 2] = "MUTATED"
+                    texts.append(" ".join(toks))
+                elif kind == 3:
+                    # unique doc with the shared boilerplate span inside
+                    toks = list(rng.choice(WORDS, size=40 + int(i) % 120))
+                    mid = len(toks) // 2
+                    texts.append(
+                        " ".join(toks[:mid]) + " " + BOILER + " "
+                        + " ".join(toks[mid:])
+                    )
+                else:
+                    toks = rng.choice(WORDS, size=40 + int(i) % 120)
+                    texts.append(" ".join(toks))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    parallelism = spark.sparkContext.defaultParallelism
+    return spark.range(n_docs, numPartitions=4 * parallelism).mapInPandas(
+        gen, "doc_id long, text string"
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    cpus = int(os.environ.get("BENCH_PIPE_CPUS", os.cpu_count() or 8))
+    base_hash = os.environ.get("BENCH_PIPE_HASH", "xxhash64")
+
+    from graph_data_science_spark.pipeline.text import (
+        duplicated_span_stats,
+        duplicated_spans,
+        exact_dedup,
+        minhash_dedup,
+        quality_score,
+        token_count_bpe,
+        trim_duplicated_spans,
+    )
+    from graph_data_science_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    spark = get_spark("gds-bench-pipeline", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synthesize_docs(spark, n_docs).localCheckpoint(eager=True)
+    total_bytes = docs.selectExpr("sum(length(text))").collect()[0][0]
+    mb = total_bytes / 1e6
+
+    timings: dict[str, float] = {}
+    extras: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        extras[name + "_rows"] = out
+        return out
+
+    timed("exact_dedup", lambda: exact_dedup(docs).count())
+    timed(
+        "minhash_lsh_dedup",
+        lambda: minhash_dedup(docs, base_hash=base_hash).count(),
+    )
+    timed(
+        "duplicated_spans",
+        lambda: duplicated_spans(
+            docs, 8, base_hash=base_hash
+        ).count(),
+    )
+    timed(
+        "dup_span_stats",
+        lambda: duplicated_span_stats(
+            docs, 8, base_hash=base_hash
+        ).count(),
+    )
+    timed(
+        "trim_dup_spans",
+        lambda: trim_duplicated_spans(
+            docs, 8, base_hash=base_hash
+        ).count(),
+    )
+    timed("token_count_bpe", lambda: token_count_bpe(docs).count())
+    timed("quality_score", lambda: quality_score(docs).count())
+
+    per_op = {
+        k: {
+            "sec": v,
+            "docs_per_sec": round(n_docs / v, 1) if v else None,
+            "mb_per_sec": round(mb / v, 1) if v else None,
+        }
+        for k, v in timings.items()
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_docs_per_sec",
+                "n_docs": n_docs,
+                "corpus_mb": round(mb, 1),
+                "base_hash": base_hash,
+                "cpus": cpus,
+                "ops": per_op,
+                "rows": extras,
+                "total_sec": round(sum(timings.values()), 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
