@@ -1062,7 +1062,9 @@ WHERE CAST(c AS DOUBLE) / s1.sz >= {CONTAIN_THRESHOLD}
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style pre-tokenizer count — the regex uses only constructs
     with identical semantics in Java regex (Spark) and RE2 (DuckDB):
-    leftmost-first alternation, ASCII \\w classes, no lookahead."""
+    leftmost-first alternation, EXPLICIT ASCII classes (no \\w/\\d/\\s
+    shorthands — Java's \\s includes \\x0B, RE2's does not), no
+    lookahead."""
     from .pipeline.text import token_count_bpe
 
     return token_count_bpe(_documents(spark, sf_dir))

@@ -424,19 +424,18 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    raw = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+    # threshold on the RAW ratio (the oracle filters unrounded too);
+    # round only for output
     return (
         inter.join(s1, "doc1")
         .join(s2, "doc2")
+        .filter(raw >= threshold)
         .select(
             "doc1",
             "doc2",
-            F.round(
-                F.col("common")
-                / (F.col("sz1") + F.col("sz2") - F.col("common")),
-                6,
-            ).alias("jaccard"),
+            F.round(raw, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -465,14 +464,17 @@ def ngram_containment_pairs(
         .agg(F.count(F.lit(1)).alias("common"))
     )
     s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    # threshold on the RAW ratio (matching any SQL re-derivation); round
+    # only for output — round-then-filter would admit pairs just under
+    # the threshold that an unrounded filter excludes
     return (
         inter.join(s1, "doc1")
+        .filter((F.col("common") / F.col("sz1")) >= threshold)
         .select(
             "doc1",
             "doc2",
             F.round(F.col("common") / F.col("sz1"), 6).alias("containment"),
         )
-        .filter(F.col("containment") >= threshold)
     )
 
 
@@ -481,7 +483,15 @@ def ngram_containment_pairs(
 # English contractions, then space-prefixed letter runs / digit runs /
 # punctuation runs. Counts within ~1-2% of a real BPE pre-tokenizer on
 # ASCII text and is a pure JVM/codegen expression at any scale.
-BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+"
+# Every class is EXPLICIT ASCII — \w/\d/\s shorthands are banned because
+# they diverge across engines (Java \s includes \x0B, RE2's does not;
+# Python \w is Unicode): this exact string means the same thing in Java
+# regex, RE2, and Python re. \x0B (vertical tab) is spelled out — Java's
+# \v is "vertical whitespace", a different set than RE2's \v.
+BPE_SPLIT_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\r\f\x0BA-Za-z0-9_]+"
+)
 
 
 def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -372,6 +372,12 @@ def test_token_count_bpe_vs_python_re(spark):
         (2, "don't    stop-me now: 3.14 costs $5"),
         (3, "plain words only here"),
         (4, ""),
+        # engine-parity edge cases: \x0B diverges between Java \s and
+        # RE2 \s, unicode letters diverge under \w — the explicit-ASCII
+        # pattern must agree everywhere
+        (5, "a\x0bb"),
+        (6, "café au lait"),
+        (7, "under_score mix_3d"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.n_tokens for r in token_count_bpe(docs).collect()}

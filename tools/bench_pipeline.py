@@ -5,13 +5,13 @@ duplicated-span detection + trim, token/quality scoring) over a
 deterministically synthesized document corpus with planted duplicates and
 prints ONE JSON line with per-op wall time and docs/sec + MB/sec.
 
-The corpus is a pure function of (seed, doc_id): ~10% exact duplicates,
-~10% near-duplicates (one token mutated), ~5% documents embedding a shared
+The corpus is a pure function of (seed, doc_id): 10% exact duplicates,
+5% near-duplicates (one token mutated), 5% documents embedding a shared
 boilerplate span — so every dedup family finds real work. Synthesis is
 mapInPandas (Arrow-vectorized, embarrassingly parallel), same pattern as
 sources/corpus.py.
 
-Usage: python tools/bench_pipeline.py [n_docs]   (default 1_000_000)
+Usage: python tools/bench_pipeline.py [n_docs]   (default 200_000)
 Env: BENCH_PIPE_CPUS (default all), BENCH_PIPE_HASH (md5|xxhash64,
 default xxhash64 — the cheap engine-local hash is the scale path; md5 is
 the oracle-portable one the contract checks).
@@ -118,6 +118,17 @@ def main() -> None:
         extras[name + "_rows"] = out
         return out
 
+    # every action must OBSERVE computed values: a bare count() lets
+    # Catalyst eliminate unreferenced projections and row-preserving left
+    # joins, timing a pruned plan instead of the operator
+    from pyspark.sql import functions as F
+
+    def force(df, col):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.hash(col)).alias("h")
+        ).collect()[0]
+        return int(row["n"])
+
     timed("exact_dedup", lambda: exact_dedup(docs).count())
     timed(
         "minhash_lsh_dedup",
@@ -131,18 +142,24 @@ def main() -> None:
     )
     timed(
         "dup_span_stats",
-        lambda: duplicated_span_stats(
-            docs, 8, base_hash=base_hash
-        ).count(),
+        lambda: force(
+            duplicated_span_stats(docs, 8, base_hash=base_hash),
+            "n_dup_spans",
+        ),
     )
     timed(
         "trim_dup_spans",
-        lambda: trim_duplicated_spans(
-            docs, 8, base_hash=base_hash
-        ).count(),
+        lambda: force(
+            trim_duplicated_spans(docs, 8, base_hash=base_hash), "text"
+        ),
     )
-    timed("token_count_bpe", lambda: token_count_bpe(docs).count())
-    timed("quality_score", lambda: quality_score(docs).count())
+    timed(
+        "token_count_bpe",
+        lambda: force(token_count_bpe(docs), "n_tokens"),
+    )
+    timed(
+        "quality_score", lambda: force(quality_score(docs), "score")
+    )
 
     per_op = {
         k: {
