@@ -1008,12 +1008,58 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle random walks: with the portable md5 step hash and
+    rank-sorted adjacency, every walk is a pure function of
+    (walk_id, step, graph) — DuckDB replays all of them with a recursive
+    CTE and the full paths value-hash match. Ids are pinned to original
+    suppkeys via the dense fast path (n_vertices covers the id range) so
+    both engines walk the same id space."""
+    from .graph import from_dense_edge_df
     from .operators.mlops import random_walks
 
-    g = _graph_mod(spark, sf_dir)
-    return random_walks(g, walks_per_node=2, walk_length=4).select(
-        "walk_id", "start", F.size("path").alias("path_len")
+    e = edges_mod(spark, sf_dir)
+    ns = _n_supp(spark, sf_dir)
+    g = from_dense_edge_df(e, n_vertices=ns + 1)
+    starts = (
+        e.select(F.col("src").alias("internal_id"))
+        .unionAll(e.select(F.col("dst").alias("internal_id")))
+        .distinct()
     )
+    return random_walks(
+        g, walks_per_node=2, walk_length=4, base_hash="md5",
+        start_nodes=starts,
+    )
+
+
+def sql_random_walk() -> str:
+    return f"""
+WITH RECURSIVE
+{_mod_header()},
+nbrs AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+  FROM edges
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM nbrs GROUP BY src),
+starts AS (SELECT id * 2 + r.rep AS walk_id, id AS start
+           FROM nodes, UNNEST(range(0, 2)) AS r(rep)),
+walk(walk_id, start, step, cur, path) AS (
+  SELECT walk_id, start, 0, start, [start] FROM starts
+  UNION ALL
+  SELECT w.walk_id, w.start, w.step + 1, n.dst,
+         list_append(w.path, n.dst)
+  FROM walk w
+  JOIN deg d ON d.src = w.cur
+  JOIN nbrs n ON n.src = w.cur
+   AND n.rk = ('0x' || substr(md5(w.walk_id::VARCHAR || '|' ||
+               w.step::VARCHAR || '|42'), 1, 15))::BIGINT % d.d
+  WHERE w.step < 3
+),
+final AS (SELECT walk_id, start, path,
+          ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY step DESC) AS rn
+          FROM walk)
+SELECT walk_id, start, path FROM final WHERE rn = 1
+"""
 
 
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1831,6 +1877,7 @@ def ext_queries() -> dict:
         "triangle_stream": q_triangle_stream,
         "balanced_triads": q_balanced_triads,
         "spanning_tree": q_spanning_tree,
+        "random_walk": q_random_walk,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize": q_sessionize,
         # rows-only (no oracle: engine-specific hash / seeded numpy /
@@ -1839,7 +1886,6 @@ def ext_queries() -> dict:
         "k1coloring": q_k1coloring,
         "fastrp": q_fastrp,
         "knn": q_knn,
-        "random_walk": q_random_walk,
         "node2vec": q_node2vec,
         "influence_celf": q_influence_celf,
         "all_shortest_paths": q_all_shortest_paths,
@@ -1884,6 +1930,7 @@ def ext_oracle_sql() -> dict:
         "triangle_stream": sql_triangle_stream(),
         "balanced_triads": sql_balanced_triads(),
         "spanning_tree": sql_spanning_tree(),
+        "random_walk": sql_random_walk(),
         "windowed_event_counts": sql_windowed_event_counts(),
         "sessionize": sql_sessionize(),
         "k1coloring_validity": sql_k1coloring_validity(),

@@ -124,17 +124,23 @@ def random_walks(
     walk_length: int = 5,
     seed: int = 42,
     start_nodes: DataFrame | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(walk_id, start, path array<long>): uniform random walks.
 
-    One adjacency-list materialization (collect_list per src), then
-    ``walk_length`` broadcast-free joins; the random step index derives
-    from xxhash64(walk_id, step, seed) — deterministic under any
-    partitioning (no rand() reshuffle hazards).
+    One adjacency-list materialization (SORTED collect_list per src —
+    the step index selects by neighbor rank, so an unsorted list would
+    make results depend on shuffle arrival order), then ``walk_length``
+    broadcast-free joins; the random step index derives from
+    hash(walk_id, step, seed) — deterministic under any partitioning
+    (no rand() reshuffle hazards). ``base_hash='md5'`` uses the
+    engine-portable 60-bit md5 hash so an external SQL engine can replay
+    every walk exactly (the contract oracle does); xxhash64 is the
+    cheaper default at scale.
     """
     adj = (
         graph.edges.groupBy("src")
-        .agg(F.collect_list("dst").alias("nbrs"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
         .localCheckpoint(eager=False)
     )
     starts = start_nodes or graph.vertices.select("internal_id")
@@ -153,6 +159,29 @@ def random_walks(
             F.col("internal_id").alias("cur"),
         )
     )
+    def step_hash(step):
+        if base_hash == "xxhash64":
+            return F.xxhash64("walk_id", F.lit(step), F.lit(seed))
+        if base_hash != "md5":
+            raise ValueError(f"unknown base_hash {base_hash!r}")
+        # portable: identical expression exists in any engine with md5
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(step)),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
     for step in range(walk_length - 1):
         walks = (
             walks.join(adj.withColumnRenamed("src", "cur"), "cur", "left")
@@ -163,10 +192,7 @@ def random_walks(
                     F.col("nbrs").isNotNull() & (F.size("nbrs") > 0),
                     F.get(
                         "nbrs",
-                        F.pmod(
-                            F.xxhash64("walk_id", F.lit(step), F.lit(seed)),
-                            F.size("nbrs"),
-                        ).cast("int"),
+                        F.pmod(step_hash(step), F.size("nbrs")).cast("int"),
                     ),
                 )
                 .otherwise(F.lit(None))
