@@ -24,7 +24,17 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
+
+# endpoint types eligible for the identity (no-id-map) fast path
+_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
 
 NATURAL = "NATURAL"
 REVERSE = "REVERSE"
@@ -342,6 +352,37 @@ def from_edge_df(
     nodes = e.select(F.col("src_orig").alias("original_id")).unionByName(
         e.select(F.col("dst_orig").alias("original_id"))
     )
+    # identity fast path: integer endpoint ids that are ALREADY dense
+    # [0, n) need no id map at all — skip the sort-based assignment AND
+    # the two endpoint joins (the detection agg rides on the distinct the
+    # id map would compute anyway). Ids stay equal to the originals, the
+    # same invariant the sorted map gives for a dense input.
+    if isinstance(e.schema["src_orig"].dataType, _INTEGRAL_TYPES) and \
+            isinstance(e.schema["dst_orig"].dataType, _INTEGRAL_TYPES):
+        d = nodes.distinct().cache()
+        lo, hi, cnt = d.agg(
+            F.min("original_id"), F.max("original_id"), F.count(F.lit(1))
+        ).collect()[0]
+        if cnt and lo == 0 and hi == cnt - 1:
+            vertices = d.select(
+                F.col("original_id").cast("long").alias("internal_id"),
+                F.col("original_id").cast("long").alias("original_id"),
+            )
+            mapped = e.select(
+                F.col("src_orig").cast("long").alias("src"),
+                F.col("dst_orig").cast("long").alias("dst"),
+                "weight",
+            )
+            mapped = aggregate_edges(
+                orient_edges(mapped, orientation), aggregation
+            )
+            return Graph(
+                vertices,
+                mapped,
+                orientation=orientation,
+                is_multigraph=aggregation in ("DEFAULT", "NONE"),
+            )
+        d.unpersist()
     idmap = dense_ids(nodes, "original_id").cache()
     vertices = idmap.select("internal_id", "original_id")
     # the id map is usually orders of magnitude smaller than the edge

@@ -195,3 +195,36 @@ def test_fused_wcc_checkpoint_resume_identical(spark, tmp_path):
         assert lin.filter(lin.iteration == 10).count() == 4  # per-bucket
     finally:
         csr.cleanup()
+
+
+def test_dense_identity_fast_path_matches_sorted_map(spark):
+    """from_edge_df on integer ids already dense [0, n) takes the no-idmap
+    fast path; its graph must be indistinguishable from the sorted-map
+    build (same vertices, same edges, same WCC), and non-dense or string
+    ids must still go through the id map."""
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.graph import from_edge_df
+
+    dense = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 0)], "src long, dst long"
+    )
+    g = from_edge_df(dense)
+    verts = {
+        (r.internal_id, r.original_id) for r in g.vertices.collect()
+    }
+    assert verts == {(i, i) for i in range(5)}
+    comp = {r.internal_id: r.component for r in wcc(g).collect()}
+    assert comp[0] == comp[1] == comp[2] == comp[3] == comp[4]
+
+    # same graph with ids shifted by +10 (non-dense): sorted map kicks in
+    shifted = dense.select(
+        (F.col("src") + 10).alias("src"), (F.col("dst") + 10).alias("dst")
+    )
+    g2 = from_edge_df(shifted)
+    verts2 = {
+        (r.internal_id, r.original_id) for r in g2.vertices.collect()
+    }
+    assert verts2 == {(i, i + 10) for i in range(5)}
+    comp2 = {r.internal_id: r.component for r in wcc(g2).collect()}
+    assert comp2 == comp
