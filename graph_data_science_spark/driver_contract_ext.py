@@ -1857,6 +1857,123 @@ SELECT CAST(0 AS BIGINT) AS not_in_exact,
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling (pipeline/sampling.py) — every decision is a pure
+# function of the portable md5-60bit key hash, so DuckDB replays the exact
+# kept set (no RNG, no partitioning dependence).
+# ---------------------------------------------------------------------------
+SAMPLE_SEED = 7
+SAMPLE_FRACTION = 0.3
+STRATA = {"en": 0.5, "de": 0.2}
+STRATA_DEFAULT = 0.05
+TEMP_TARGET = 200
+TOPK_PER_GROUP = 7
+_HS = 1 << 60  # sampling.HASH_SPACE
+
+# DuckDB twin of sampling.sample_hash(seed, doc_id)
+_SQL_DOC_HASH = (
+    f"('0x' || substr(md5('{SAMPLE_SEED}' || chr(31) || "
+    "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample of the documents table."""
+    from .pipeline.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    return hash_sample(docs, SAMPLE_FRACTION, seed=SAMPLE_SEED)
+
+
+def sql_hash_sample() -> str:
+    thr = int(SAMPLE_FRACTION * _HS)
+    return (
+        "SELECT doc_id, lang, source FROM documents "
+        f"WHERE {_SQL_DOC_HASH} < {thr}"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates (en 0.5, de 0.2, others 0.05)."""
+    from .pipeline.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    return stratified_sample(
+        docs, "lang", STRATA, default_fraction=STRATA_DEFAULT, seed=SAMPLE_SEED
+    )
+
+
+def sql_stratified_sample() -> str:
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(f * _HS)}" for g, f in sorted(STRATA.items())
+    )
+    default_thr = int(STRATA_DEFAULT * _HS)
+    return (
+        "SELECT doc_id, lang, source FROM documents "
+        f"WHERE {_SQL_DOC_HASH} < "
+        f"(CASE lang {whens} ELSE {default_thr} END)"
+    )
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count**0.5 temperature-flattened source mix, ~TEMP_TARGET rows.
+
+    alpha=0.5 is the contract point because sqrt is IEEE-correctly
+    rounded in both engines (general pow is not), and the derived rate
+    is rounded to 9 decimals on both sides, so the kept set is exact.
+    """
+    from .pipeline.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = temperature_sample(
+        docs, "source", target_rows=TEMP_TARGET, alpha=0.5, seed=SAMPLE_SEED
+    )
+    return out.select("doc_id", "source")
+
+
+def sql_temperature_sample() -> str:
+    return f"""
+WITH counts AS (SELECT source, COUNT(*)::BIGINT AS cnt
+                FROM documents GROUP BY source),
+tot AS (SELECT SUM(sqrt(CAST(cnt AS DOUBLE))) AS total_w FROM counts),
+rates AS (SELECT source,
+          ROUND(LEAST(1.0,
+            {float(TEMP_TARGET)} * sqrt(CAST(cnt AS DOUBLE)) / tot.total_w
+            / CAST(cnt AS DOUBLE)), 9) AS rate
+          FROM counts, tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_SQL_DOC_HASH} < CAST(FLOOR(r.rate * {float(_HS)}) AS BIGINT)
+"""
+
+
+def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per source — the k smallest key hashes (the
+    deterministic equivalent of per-group reservoir sampling)."""
+    from .pipeline.sampling import group_topk_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return group_topk_sample(docs, "source", TOPK_PER_GROUP, seed=SAMPLE_SEED)
+
+
+def sql_group_topk_sample() -> str:
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_SQL_DOC_HASH} ASC, doc_id ASC) AS rn
+  FROM documents) WHERE rn <= {TOPK_PER_GROUP}
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -1907,6 +2024,11 @@ def ext_queries() -> dict:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_dedup": q_embedding_neardup_dedup,
         "embedding_neardup_lsh_validity": q_embedding_neardup_lsh_validity,
+        # deterministic sampling (training-data curation)
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "temperature_sample": q_temperature_sample,
+        "group_topk_sample": q_group_topk_sample,
     }
 
 
@@ -1951,4 +2073,8 @@ def ext_oracle_sql() -> dict:
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_dedup": sql_embedding_neardup_dedup(),
         "embedding_neardup_lsh_validity": sql_embedding_neardup_lsh_validity(),
+        "hash_sample": sql_hash_sample(),
+        "stratified_sample": sql_stratified_sample(),
+        "temperature_sample": sql_temperature_sample(),
+        "group_topk_sample": sql_group_topk_sample(),
     }

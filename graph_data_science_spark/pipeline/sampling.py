@@ -1,0 +1,173 @@
+"""Deterministic sampling operators for training-data curation.
+
+Every sampler here is HASH-GATED: membership is a pure function of the
+row key (the engine-portable 60-bit md5 hash shared with
+:mod:`pipeline.text`), never of partitioning, task scheduling, or RNG
+state. That buys three properties a 100-TB curation pipeline needs:
+
+- **reproducible** — the same corpus yields the same sample on any
+  cluster size, with or without AQE;
+- **parallel-safe** — membership is a narrow per-row filter (no shuffle
+  for Bernoulli/stratified; one key-partitioned shuffle for top-k), so
+  it pushes down next to the parquet scan;
+- **incremental** — appending new documents never changes previous
+  sampling decisions, so a re-run over a grown corpus is a delta job.
+
+Scale notes: ``hash_sample``/``stratified_sample`` are scan+filter only
+(the rate table is a broadcast map literal); ``temperature_sample`` adds
+one tiny groupBy (|groups| rows) and a broadcast join of rates;
+``group_topk_sample`` is one shuffle keyed by the group column — at
+100 TB only (key, hash) columns shuffle if callers select early.
+
+These are training-pipeline extensions beyond the reference (Neo4j GDS
+~1.6 has only graph-split sampling — see ``operators/mlops.py``
+``split_relationships``, ref alpha/alpha-proc SplitRelationshipsProc);
+the formulations follow standard web-corpus curation practice
+(per-source rates, count^alpha temperature mixing as in multilingual
+corpus balancing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import _base_hash
+
+# the md5-derived portable hash is uniform on [0, 16^15) = [0, 2^60)
+HASH_SPACE = 1 << 60
+_SEP = "\x1f"
+
+
+def sample_hash(seed: int, *cols: str | Column, base_hash: str = "md5") -> Column:
+    """Portable uniform hash on [0, 2**60) of (seed, *cols).
+
+    Identical bit-for-bit in Spark and DuckDB (md5 path), so oracle SQL
+    can replay every sampling decision exactly.
+    """
+    parts = [F.lit(str(int(seed)))] + [
+        c if isinstance(c, Column) else F.col(c) for c in cols
+    ]
+    return _base_hash(F.concat_ws(_SEP, *parts), base_hash)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 42,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hash falls
+    below ``fraction`` of the hash space.
+
+    Unlike ``DataFrame.sample`` (partition-RNG: resampling under a
+    different partitioning or after an append changes the kept set),
+    membership depends only on the key values.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thr = int(fraction * HASH_SPACE)
+    return df.where(sample_hash(seed, *key_cols, base_hash=base_hash) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 42,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """Per-group deterministic Bernoulli sampling (e.g. per-language /
+    per-source rates). ``fractions`` maps group value -> keep rate;
+    unlisted groups get ``default_fraction``.
+
+    The rate table is a plan-literal CASE expression — no join, no
+    shuffle; Catalyst folds it next to the scan.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    thr: Column = F.lit(int(default_fraction * HASH_SPACE))
+    for g, f in sorted(fractions.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(int(f * HASH_SPACE))).otherwise(
+            thr
+        )
+    return df.where(sample_hash(seed, *key_cols, base_hash=base_hash) < thr)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 42,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """Temperature-flattened mixing: sample so the expected group mix is
+    proportional to ``count(group) ** alpha`` (alpha=1 keeps the natural
+    mix, alpha=0 equalizes groups), totalling ~``target_rows`` rows.
+
+    rate(g) = min(1, target_rows * w_g / sum(w) / count_g),
+    w_g = count_g ** alpha. Rates are rounded to 9 decimals before the
+    threshold compare so the oracle's group-sum (whose float addition
+    order an engine doesn't pin) cannot flip a boundary row.
+
+    Plan: one |groups|-row aggregate + broadcast join of rates + the
+    same hash filter — two jobs, no wide shuffle of data rows.
+    """
+    if alpha == 0.5:
+        w = F.sqrt(F.col("cnt").cast("double"))  # IEEE-exact in any engine
+    else:
+        w = F.pow(F.col("cnt").cast("double"), F.lit(float(alpha)))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
+    rates = (
+        counts.withColumn("w", w)
+        .withColumn("total_w", F.sum("w").over(Window.partitionBy()))
+        .select(
+            group_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_rows)) * F.col("w") / F.col("total_w")
+                    / F.col("cnt").cast("double"),
+                ),
+                9,
+            ).alias("rate"),
+        )
+    )
+    h = sample_hash(seed, *key_cols, base_hash=base_hash)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(h < F.floor(F.col("rate") * F.lit(float(HASH_SPACE))))
+        .drop("rate")
+    )
+
+
+def group_topk_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 42,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group — the k smallest key
+    hashes, i.e. a deterministic uniform without-replacement sample
+    (what a reservoir sampler computes, without the sequential state).
+
+    One shuffle keyed by ``group_col``; ties broken by key columns so
+    the result is total-order deterministic.
+    """
+    h = sample_hash(seed, *key_cols, base_hash=base_hash)
+    win = Window.partitionBy(group_col).orderBy(
+        h.asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,133 @@
+"""Deterministic sampling operators (pipeline/sampling.py).
+
+Key property under test everywhere: membership is a pure function of the
+row key — invariant to partitioning, to row order, and to corpus appends
+(earlier decisions never change when new rows arrive).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.pipeline.sampling import (
+    HASH_SPACE,
+    group_topk_sample,
+    hash_sample,
+    sample_hash,
+    stratified_sample,
+    temperature_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"g{i % 4}", f"lang{i % 3}") for i in range(2000)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, grp string, lang string")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_hash_sample_rate_and_determinism(docs):
+    s = hash_sample(docs, 0.25, seed=3)
+    ids = _ids(s)
+    # binomial(2000, 0.25): mean 500, sd ~19.4; 6 sd window
+    assert 380 <= len(ids) <= 620
+    # partitioning invariance
+    assert _ids(hash_sample(docs.repartition(13, "lang"), 0.25, seed=3)) == ids
+    # different seed -> different sample (overwhelmingly)
+    assert _ids(hash_sample(docs, 0.25, seed=4)) != ids
+
+
+def test_hash_sample_nested_thresholds(docs):
+    """Hash gating makes samples at increasing fractions NESTED — the
+    property that lets a pipeline grow its sample without resampling."""
+    small = set(_ids(hash_sample(docs, 0.1, seed=3)))
+    big = set(_ids(hash_sample(docs, 0.4, seed=3)))
+    assert small <= big
+
+
+def test_hash_sample_append_stability(docs, spark):
+    """Appending new rows never flips earlier decisions."""
+    base = set(_ids(hash_sample(docs, 0.3, seed=5)))
+    extra = spark.createDataFrame(
+        [(10_000 + i, "g9", "lang9") for i in range(500)],
+        "doc_id long, grp string, lang string",
+    )
+    grown = set(_ids(hash_sample(docs.unionByName(extra), 0.3, seed=5)))
+    assert {i for i in grown if i < 10_000} == base
+
+
+def test_hash_sample_fraction_bounds(docs):
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_stratified_rates(docs):
+    s = stratified_sample(
+        docs, "grp", {"g0": 1.0, "g1": 0.0}, default_fraction=0.5, seed=3
+    )
+    got = {r.grp: r.n for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert got.get("g0") == 500
+    assert "g1" not in got
+    # g2/g3 at 0.5 each: mean 250, sd ~11; 6 sd
+    assert 180 <= got.get("g2", 0) <= 320
+    assert 180 <= got.get("g3", 0) <= 320
+
+
+def test_temperature_alpha_one_is_natural_mix(spark):
+    # skewed groups: 1600 'a', 400 'b'  -> alpha=1 keeps the 4:1 mix
+    rows = [(i, "a" if i < 1600 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    s = temperature_sample(df, "grp", target_rows=500, alpha=1.0, seed=3)
+    got = {r.grp: r.n for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # uniform rate 0.25 across groups: a~400, b~100
+    assert 320 <= got["a"] <= 480
+    assert 60 <= got["b"] <= 140
+
+
+def test_temperature_alpha_zero_equalizes(spark):
+    rows = [(i, "a" if i < 1600 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    s = temperature_sample(df, "grp", target_rows=400, alpha=0.0, seed=3)
+    got = {r.grp: r.n for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # equal expected mass per group: ~200 each (b rate is 0.5: sd ~10)
+    assert 130 <= got["a"] <= 270
+    assert 130 <= got["b"] <= 270
+
+
+def test_temperature_small_group_saturates(spark):
+    """A group smaller than its target allocation is kept whole (rate
+    clamps to 1), never oversampled."""
+    rows = [(i, "big" if i < 1990 else "tiny") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    s = temperature_sample(df, "grp", target_rows=1000, alpha=0.0, seed=3)
+    got = {r.grp: r.n for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert got["tiny"] == 10
+
+
+def test_group_topk_exact_k_and_invariance(docs):
+    s = group_topk_sample(docs, "grp", 25, seed=3)
+    got = {r.grp: r.n for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert got == {"g0": 25, "g1": 25, "g2": 25, "g3": 25}
+    assert _ids(group_topk_sample(docs.repartition(7), "grp", 25, seed=3)) == _ids(s)
+
+
+def test_group_topk_small_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string"
+    )
+    s = group_topk_sample(df, "grp", 5, seed=3)
+    assert s.count() == 3  # min(k, |group|)
+
+
+def test_sample_hash_range(docs):
+    mm = docs.select(
+        F.min(sample_hash(3, "doc_id")).alias("lo"),
+        F.max(sample_hash(3, "doc_id")).alias("hi"),
+    ).collect()[0]
+    assert 0 <= mm.lo and mm.hi < HASH_SPACE
