@@ -1953,6 +1953,161 @@ WHERE {_SQL_DOC_HASH} < CAST(FLOOR(r.rate * {float(_HS)}) AS BIGINT)
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style clustered semantic dedup (pipeline/ann.py) — seeded unit
+# centroids + plan-literal argmax assignment make the whole operator
+# replayable in SQL (centroid literals inlined, same trick as the LSH ANN
+# oracle); k-means (trained centroids) carries a Lloyd's-invariant validity
+# row instead (float-mean summation order is engine/layout-specific).
+# ---------------------------------------------------------------------------
+SEM_K = 8
+SEM_SEED = 11
+
+
+def _sem_cents():
+    from .driver_contract import ANN_DIM
+    from .pipeline.ann import seeded_centroids
+
+    return seeded_centroids(ANN_DIM, SEM_K, SEM_SEED)
+
+
+def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-gated near-dup pairs (pairs scored only within a cluster)."""
+    from .driver_contract import _embeddings
+    from .pipeline.ann import semantic_neardup_pairs
+
+    out = semantic_neardup_pairs(
+        _embeddings(spark, sf_dir),
+        threshold=NEARDUP_THRESHOLD,
+        n_clusters=SEM_K,
+        seed=SEM_SEED,
+    )
+    return out.select(
+        "vec_id", "dup_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _sql_sem_assign() -> str:
+    cents = _sem_cents()
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(cid, c) AS (VALUES {rows}),
+scored AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.c) AS s
+           FROM e, cents c),
+asg AS (SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+          FROM scored) WHERE rn = 1),
+pairs AS (SELECT a.vec_id, b.vec_id AS dup_id,
+            list_dot_product(ea.v, eb.v) /
+            (sqrt(list_dot_product(ea.v, ea.v)) *
+             sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+          FROM asg a JOIN asg b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id)"""
+
+
+def sql_semantic_neardup() -> str:
+    return f"""
+WITH {_sql_sem_assign()}
+SELECT vec_id, dup_id, ROUND(cosine, 4) AS cosine FROM pairs
+WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-by-id keep table over the cluster-gated pair stream."""
+    from .driver_contract import _embeddings
+    from .pipeline.ann import semantic_dedup
+
+    return semantic_dedup(
+        _embeddings(spark, sf_dir),
+        threshold=NEARDUP_THRESHOLD,
+        n_clusters=SEM_K,
+        seed=SEM_SEED,
+    )
+
+
+def sql_semantic_dedup() -> str:
+    return f"""
+WITH {_sql_sem_assign()}
+SELECT e.vec_id, d.vec_id IS NULL AS keep
+FROM e LEFT JOIN (SELECT DISTINCT dup_id AS vec_id FROM pairs
+                  WHERE cosine >= {NEARDUP_THRESHOLD}) d
+  ON e.vec_id = d.vec_id
+"""
+
+
+def q_kmeans_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's invariants for the trained-centroid path: assignment is
+    total (one cluster per vector, id in [0, k)), at least 2 clusters are
+    used, and the k-means objective (within-cluster sum of squared
+    distances) did not increase over the run — WCSS(fitted) <=
+    WCSS(init-centroid assignment), a theorem of Lloyd's iteration."""
+    import numpy as np
+
+    from .driver_contract import _embeddings
+    from .pipeline.ann import kmeans_assign, kmeans_fit
+
+    emb = _embeddings(spark, sf_dir)
+    n = emb.count()
+
+    src = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    init_rows = (
+        src.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(SEM_K)
+        .collect()
+    )
+    init = np.array([r.v for r in init_rows], dtype=np.float64)
+    cents = kmeans_fit(emb, k=SEM_K, max_iter=5, seed=SEM_SEED)
+
+    def wcss(centroids: np.ndarray) -> float:
+        # CASE chain: cluster i -> squared distance to centroid i
+        asg = kmeans_assign(emb, centroids)
+        case = F.lit(0.0)
+        for i, c in enumerate(centroids):
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            case = F.when(F.col("cluster") == i, d).otherwise(case)
+        return asg.join(src, "vec_id").agg(F.sum(case)).collect()[0][0]
+
+    asg = kmeans_assign(emb, cents)
+    total = asg.count()
+    k_used = asg.select("cluster").distinct().count()
+    in_range = asg.filter(
+        (F.col("cluster") < 0) | (F.col("cluster") >= SEM_K)
+    ).count()
+    improved = wcss(cents) <= wcss(init) * (1 + 1e-9)
+    return spark.createDataFrame(
+        [(int(total == n), int(in_range), int(k_used >= 2), bool(improved))],
+        "total_ok long, out_of_range long, multi_cluster long, "
+        "objective_monotone boolean",
+    )
+
+
+def sql_kmeans_validity() -> str:
+    return """
+SELECT CAST(1 AS BIGINT) AS total_ok, CAST(0 AS BIGINT) AS out_of_range,
+       CAST(1 AS BIGINT) AS multi_cluster, TRUE AS objective_monotone
+"""
+
+
 def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly k docs per source — the k smallest key hashes (the
     deterministic equivalent of per-group reservoir sampling)."""
@@ -2024,6 +2179,10 @@ def ext_queries() -> dict:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_dedup": q_embedding_neardup_dedup,
         "embedding_neardup_lsh_validity": q_embedding_neardup_lsh_validity,
+        # clustered semantic dedup + k-means (training-data curation)
+        "semantic_neardup": q_semantic_neardup,
+        "semantic_dedup": q_semantic_dedup,
+        "kmeans_validity": q_kmeans_validity,
         # deterministic sampling (training-data curation)
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -2073,6 +2232,9 @@ def ext_oracle_sql() -> dict:
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_dedup": sql_embedding_neardup_dedup(),
         "embedding_neardup_lsh_validity": sql_embedding_neardup_lsh_validity(),
+        "semantic_neardup": sql_semantic_neardup(),
+        "semantic_dedup": sql_semantic_dedup(),
+        "kmeans_validity": sql_kmeans_validity(),
         "hash_sample": sql_hash_sample(),
         "stratified_sample": sql_stratified_sample(),
         "temperature_sample": sql_temperature_sample(),

@@ -167,9 +167,7 @@ def ivf_topk(
     literals, which at real dims (768+) would bloat every plan and
     recompile per query."""
     dim = len(emb.select(vec_col).first()[0])
-    rng = np.random.Generator(np.random.PCG64(seed))
-    cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = seeded_centroids(dim, n_centroids, seed)
     cents_t = cents.T.copy()
 
     src = emb.select(
@@ -525,3 +523,233 @@ def cosine_neardup_dedup(
         .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
         .select(F.col(id_col), F.col("__drop").isNull().alias("keep"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustered (SemDeDup-style) semantic dedup + distributed k-means
+# ---------------------------------------------------------------------------
+def seeded_centroids(dim: int, k: int, seed: int) -> np.ndarray:
+    """k seeded random unit centroids — the deterministic, zero-training
+    cluster basis shared by :func:`ivf_topk` and the exact-oracle path of
+    :func:`semantic_neardup_pairs` (same RNG stream as ivf_topk)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = rng.standard_normal((k, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def centroid_assign_column(vec_col: str, cents: np.ndarray):
+    """Plan-literal argmax-dot centroid assignment.
+
+    Scores are sequential ``zip_with``/``aggregate`` folds over inlined
+    centroid literals — the same left-to-right summation DuckDB's
+    ``list_dot_product`` performs — so an oracle replays every assignment
+    bit-exactly (ties break to the smaller centroid id on both sides).
+    Use for k*dim up to a few thousand; above that, assign with the
+    numpy-closure path inside :func:`kmeans_assign` instead (vectorized
+    matmul per Arrow batch, no plan bloat, engine-local)."""
+    scores = []
+    for c in cents:
+        scores.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    arr = F.array(*scores)
+    # array_position returns the FIRST index holding the max -> smaller
+    # centroid id wins ties, matching ORDER BY score DESC, cid ASC
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def semantic_neardup_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    n_clusters: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-formulation near-dup pairs: cluster the embedding space,
+    then score pairs ONLY within a cluster (a<b, cosine >= threshold).
+
+    The cluster gate cuts the pair space from n^2 to sum |cluster_i|^2 —
+    with balanced clusters a k-fold reduction, and each cluster's pair
+    join shuffles independently (partition by cluster id), so the plan
+    scales out where the exact all-pairs baseline cannot. The price is
+    SemDeDup's own: a near-dup pair split across a cluster boundary is
+    missed (recall < 1; raise n_clusters for speed, lower for recall).
+
+    ``centroids=None`` uses seeded random unit centroids (deterministic;
+    with the plan-literal assignment this whole operator is replayable in
+    SQL — see the ``semantic_neardup`` contract oracle). Pass trained
+    centroids from :func:`kmeans_fit` for better cluster locality.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    if centroids is None:
+        centroids = seeded_centroids(dim, n_clusters, seed)
+    assigned = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        centroid_assign_column(vec_col, centroids).alias("cluster"),
+    )
+    a = assigned.select(
+        "cluster",
+        F.col("vec_id"),
+        F.col("v").alias("va"),
+        _norm_col("v").alias("na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("dup_id"),
+        F.col("v").alias("vb"),
+        _norm_col("v").alias("nb"),
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_id") < F.col("dup_id"))
+        .select(
+            "vec_id",
+            "dup_id",
+            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    n_clusters: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """(vec_id, keep): greedy-by-id dedup over the cluster-gated pair
+    stream — a vector is dropped iff a same-cluster near-duplicate with a
+    smaller id exists (SemDeDup keeps one representative per duplicate
+    group; smallest-id is the deterministic choice)."""
+    pairs = semantic_neardup_pairs(
+        emb, threshold=threshold, n_clusters=n_clusters, seed=seed,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+    )
+    dropped = pairs.select(F.col("dup_id").alias(id_col)).distinct()
+    return (
+        emb.select(id_col)
+        .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(F.col(id_col), F.col("__drop").isNull().alias("keep"))
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster): nearest-centroid (max dot on unit centroids /
+    min squared distance otherwise) assignment — one numpy matmul per
+    Arrow batch, centroid matrix in the closure (broadcast once per
+    worker), never per-row Python and never plan literals."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents_t = cents.T.copy()
+    half_sq = 0.5 * (cents * cents).sum(axis=1)  # argmin ||v-c||^2 ==
+    # argmax (v.c - 0.5||c||^2): one matmul covers non-unit centroids too
+
+    src = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def assign(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            scores = m @ cents_t - half_sq
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": np.argmax(scores, axis=1).astype("int32"),
+                }
+            )
+
+    return src.mapInPandas(assign, "vec_id long, cluster int")
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    max_iter: int = 10,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the embedding column; returns the
+    (k, dim) centroid matrix (feed to :func:`kmeans_assign` /
+    :func:`semantic_neardup_pairs`).
+
+    Init is the k vectors with the smallest ``xxhash64(id)`` — a
+    deterministic uniform draw (same hash-gate rationale as
+    ``pipeline/sampling``). Each iteration is ONE job: assignment via
+    the closure matmul, then per-cluster mean as (cluster, pos) partial
+    sums — k*dim tiny rows shuffle, never vectors to the driver beyond
+    the k centroids themselves. Iteration-count bounded, no convergence
+    collect loop beyond the k*dim aggregate each round.
+
+    Centroid means sum floats in shuffle order, so results are stable
+    only to the last ulp across cluster layouts — pair with the
+    structural validity oracle (every point nearest its own centroid),
+    not a value-hash oracle.
+    """
+    src = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    init_rows = (
+        src.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([r.v for r in init_rows], dtype=np.float64)
+    if len(cents) < k:
+        raise ValueError(f"k={k} exceeds the {len(cents)} input vectors")
+
+    for _ in range(max_iter):
+        assigned = kmeans_assign(
+            src, cents, id_col="vec_id", vec_col="v"
+        ).join(src, "vec_id")
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        counts = np.zeros(k, dtype=np.int64)
+        acc = np.zeros_like(cents)
+        for r in sums:
+            acc[r.cluster, r.pos] = r.s
+            counts[r.cluster] = r.n
+        nonempty = counts > 0
+        new[nonempty] = acc[nonempty] / counts[nonempty, None]
+        if np.allclose(new, cents, rtol=0, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    return cents

@@ -1,0 +1,113 @@
+"""Clustered (SemDeDup-style) semantic dedup + distributed k-means."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.pipeline.ann import (
+    centroid_assign_column,
+    cosine_neardup_pairs,
+    kmeans_assign,
+    kmeans_fit,
+    seeded_centroids,
+    semantic_dedup,
+    semantic_neardup_pairs,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """3 tight planted clusters + exact duplicates inside each."""
+    rng = np.random.Generator(np.random.PCG64(99))
+    anchors = rng.standard_normal((3, DIM)) * 5.0
+    rows = []
+    vid = 0
+    for a in anchors:
+        for _ in range(20):
+            v = a + rng.standard_normal(DIM) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_pairs_subset_of_exact(clustered_emb):
+    """Cluster gating only REMOVES pairs (precision 1 wrt the exact set)."""
+    exact = {
+        (r.vec_id, r.dup_id)
+        for r in cosine_neardup_pairs(clustered_emb, threshold=0.95).collect()
+    }
+    sem = {
+        (r.vec_id, r.dup_id)
+        for r in semantic_neardup_pairs(
+            clustered_emb, threshold=0.95, n_clusters=4, seed=11
+        ).collect()
+    }
+    assert sem <= exact
+    # planted near-identical clusters: most same-cluster pairs survive
+    assert len(sem) >= len(exact) * 0.5
+
+
+def test_semantic_dedup_keeps_one_per_tight_cluster(clustered_emb):
+    out = semantic_dedup(
+        clustered_emb, threshold=0.999, n_clusters=4, seed=11
+    )
+    kept = [r.vec_id for r in out.collect() if r.keep]
+    # 60 vectors in 3 near-duplicate groups -> a handful of keepers;
+    # every group's smallest member is kept (greedy-by-id)
+    assert len(kept) < 20
+    assert 0 in kept
+
+
+def test_centroid_assign_column_matches_numpy(clustered_emb):
+    cents = seeded_centroids(DIM, 4, 11)
+    plan = {
+        r.vec_id: r.c
+        for r in clustered_emb.select(
+            "vec_id",
+            centroid_assign_column("embedding", cents).alias("c"),
+        ).collect()
+    }
+    closure = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(clustered_emb, cents).collect()
+    }
+    assert plan == closure
+
+
+def test_kmeans_recovers_planted_clusters(clustered_emb):
+    cents = kmeans_fit(clustered_emb, k=3, max_iter=10, seed=11)
+    asg = kmeans_assign(clustered_emb, cents)
+    rows = asg.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.vec_id // 20, set()).add(r.cluster)
+    # each planted group maps to exactly one k-means cluster, all distinct
+    assert all(len(cs) == 1 for cs in by_group.values())
+    assert len({next(iter(cs)) for cs in by_group.values()}) == 3
+
+
+def test_kmeans_deterministic_under_repartition(clustered_emb):
+    c1 = kmeans_fit(clustered_emb, k=3, max_iter=4, seed=11)
+    c2 = kmeans_fit(clustered_emb.repartition(7), k=3, max_iter=4, seed=11)
+    assert np.allclose(c1, c2, atol=1e-9)
+
+
+def test_kmeans_k_exceeds_n_raises(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [1.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        kmeans_fit(df, k=5, max_iter=1, seed=1)
+
+
+def test_trained_centroids_feed_semantic_dedup(clustered_emb):
+    """kmeans_fit -> semantic_neardup_pairs(centroids=...) finds every
+    within-group pair (clusters align with the planted groups)."""
+    cents = kmeans_fit(clustered_emb, k=3, max_iter=10, seed=11)
+    sem = semantic_neardup_pairs(
+        clustered_emb, threshold=0.999, centroids=cents
+    )
+    # 3 groups x C(20,2) pairs = 570, all same-cluster after training
+    assert sem.count() == 570
