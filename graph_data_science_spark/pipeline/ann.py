@@ -576,6 +576,7 @@ def semantic_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-formulation near-dup pairs: cluster the embedding space,
     then score pairs ONLY within a cluster (a<b, cosine >= threshold).
@@ -586,6 +587,14 @@ def semantic_neardup_pairs(
     scales out where the exact all-pairs baseline cannot. The price is
     SemDeDup's own: a near-dup pair split across a cluster boundary is
     missed (recall < 1; raise n_clusters for speed, lower for recall).
+
+    ``max_cluster_size`` guards the skew case (one trained mega-cluster
+    re-creates the n^2 blowup): clusters above the cap are salt-split
+    into ceil(size/cap) sub-cells by a deterministic hash of the id, so
+    no cell pairs more than ~cap^2 rows. Pairs across sub-cells of the
+    same cluster are missed — prefer raising n_clusters; the cap is the
+    bounded-cost backstop (same rationale as the MinHash/SimHash bucket
+    caps in pipeline/text.py).
 
     ``centroids=None`` uses seeded random unit centroids (deterministic;
     with the plan-literal assignment this whole operator is replayable in
@@ -600,20 +609,39 @@ def semantic_neardup_pairs(
         F.col(vec_col).alias("v"),
         centroid_assign_column(vec_col, centroids).alias("cluster"),
     )
+    keys = ["cluster"]
+    if max_cluster_size is not None:
+        from .sampling import sample_hash
+
+        sizes = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        n_sub = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("__n") / F.lit(max_cluster_size)).cast("long"),
+        )
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "cell", F.pmod(sample_hash(seed, "vec_id"), n_sub)
+            )
+            .drop("__n")
+        )
+        keys = ["cluster", "cell"]
     a = assigned.select(
-        "cluster",
+        *keys,
         F.col("vec_id"),
         F.col("v").alias("va"),
         _norm_col("v").alias("na"),
     )
     b = assigned.select(
-        "cluster",
+        *keys,
         F.col("vec_id").alias("dup_id"),
         F.col("v").alias("vb"),
         _norm_col("v").alias("nb"),
     )
     return (
-        a.join(b, "cluster")
+        a.join(b, keys)
         .filter(F.col("vec_id") < F.col("dup_id"))
         .select(
             "vec_id",
@@ -633,6 +661,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """(vec_id, keep): greedy-by-id dedup over the cluster-gated pair
     stream — a vector is dropped iff a same-cluster near-duplicate with a
@@ -641,6 +670,7 @@ def semantic_dedup(
     pairs = semantic_neardup_pairs(
         emb, threshold=threshold, n_clusters=n_clusters, seed=seed,
         id_col=id_col, vec_col=vec_col, centroids=centroids,
+        max_cluster_size=max_cluster_size,
     )
     dropped = pairs.select(F.col("dup_id").alias(id_col)).distinct()
     return (

@@ -111,3 +111,32 @@ def test_trained_centroids_feed_semantic_dedup(clustered_emb):
     )
     # 3 groups x C(20,2) pairs = 570, all same-cluster after training
     assert sem.count() == 570
+
+
+def test_max_cluster_size_guard(clustered_emb):
+    """Salt-splitting bounds per-cell pair cost; emitted pairs remain a
+    subset of the unguarded set and exact duplicates still pair up
+    within at least one cell often enough to dedup the planted groups."""
+    full = {
+        (r.vec_id, r.dup_id)
+        for r in semantic_neardup_pairs(
+            clustered_emb, threshold=0.999, n_clusters=4, seed=11
+        ).collect()
+    }
+    capped_df = semantic_neardup_pairs(
+        clustered_emb, threshold=0.999, n_clusters=4, seed=11,
+        max_cluster_size=8,
+    )
+    capped = {(r.vec_id, r.dup_id) for r in capped_df.collect()}
+    assert capped <= full
+    assert len(capped) < len(full)  # the split really dropped cross-cell pairs
+    assert len(capped) > 0
+    # determinism under repartition (salt is hash-gated, not RNG)
+    again = {
+        (r.vec_id, r.dup_id)
+        for r in semantic_neardup_pairs(
+            clustered_emb.repartition(7), threshold=0.999, n_clusters=4,
+            seed=11, max_cluster_size=8,
+        ).collect()
+    }
+    assert again == capped
