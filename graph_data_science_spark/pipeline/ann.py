@@ -577,6 +577,7 @@ def semantic_neardup_pairs(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     max_cluster_size: int | None = None,
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup-formulation near-dup pairs: cluster the embedding space,
     then score pairs ONLY within a cluster (a<b, cosine >= threshold).
@@ -600,15 +601,37 @@ def semantic_neardup_pairs(
     with the plan-literal assignment this whole operator is replayable in
     SQL — see the ``semantic_neardup`` contract oracle). Pass trained
     centroids from :func:`kmeans_fit` for better cluster locality.
+
+    ``assign``: ``"literal"`` inlines the centroid matrix as plan
+    literals (oracle-replayable; only viable while k*dim stays in the
+    low thousands), ``"matmul"`` assigns via the numpy-closure matmul of
+    :func:`kmeans_assign` (the scale path — dim 768 x k 50k centroids
+    never touch the plan), ``"auto"`` picks literal iff k*dim <= 4096.
+    Both are deterministic; they may disagree on argmax ties in the last
+    float ulp, so the contract oracle pins the literal path.
     """
     dim = len(emb.select(vec_col).first()[0])
     if centroids is None:
         centroids = seeded_centroids(dim, n_clusters, seed)
-    assigned = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        centroid_assign_column(vec_col, centroids).alias("cluster"),
-    )
+    if assign == "auto":
+        assign = "literal" if centroids.size <= 4096 else "matmul"
+    if assign == "literal":
+        assigned = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            centroid_assign_column(vec_col, centroids).alias("cluster"),
+        )
+    elif assign == "matmul":
+        assigned = kmeans_assign(
+            emb, centroids, id_col=id_col, vec_col=vec_col
+        ).join(
+            emb.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+            ),
+            "vec_id",
+        )
+    else:
+        raise ValueError(f"unknown assign mode {assign!r}")
     keys = ["cluster"]
     if max_cluster_size is not None:
         from .sampling import sample_hash
@@ -662,6 +685,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     max_cluster_size: int | None = None,
+    assign: str = "auto",
 ) -> DataFrame:
     """(vec_id, keep): greedy-by-id dedup over the cluster-gated pair
     stream — a vector is dropped iff a same-cluster near-duplicate with a
@@ -670,7 +694,7 @@ def semantic_dedup(
     pairs = semantic_neardup_pairs(
         emb, threshold=threshold, n_clusters=n_clusters, seed=seed,
         id_col=id_col, vec_col=vec_col, centroids=centroids,
-        max_cluster_size=max_cluster_size,
+        max_cluster_size=max_cluster_size, assign=assign,
     )
     dropped = pairs.select(F.col("dup_id").alias(id_col)).distinct()
     return (

@@ -108,12 +108,14 @@ def build_bucketed_csr(
         # 4× parallelism so heavy buckets average out (see module skew
         # note) — but never more buckets than the graph can fill: each
         # bucket is an applyInPandas group + O(n_buckets) message blobs
-        # per superstep, pure fixed overhead once buckets drop below a
-        # few thousand vertices. Small graphs collapse to a handful of
-        # buckets; big graphs keep the parallelism-derived count.
+        # per superstep, pure fixed overhead once buckets are small.
+        # Floor measured at 8192 vertices/bucket: on a 120k-vertex
+        # corpus graph, 58 buckets ran 0.50 s/superstep vs 0.30 s at
+        # 14-16 (task scheduling + Arrow round-trips dominate below the
+        # floor); big graphs keep the parallelism-derived count.
         n_buckets = min(
             max(4 * spark.sparkContext.defaultParallelism, 8),
-            max(1, n_vertices // 2048),
+            max(1, n_vertices // 8192),
         )
     bucket_width = max(1, -(-n_vertices // n_buckets))
     n_buckets = -(-n_vertices // bucket_width)

@@ -140,3 +140,28 @@ def test_max_cluster_size_guard(clustered_emb):
         ).collect()
     }
     assert again == capped
+
+
+def test_assign_matmul_matches_literal(clustered_emb):
+    """The scale-path closure-matmul assignment yields the same pair set
+    as the oracle-pinned plan-literal assignment (well-separated data —
+    no argmax ties)."""
+    lit = {
+        (r.vec_id, r.dup_id)
+        for r in semantic_neardup_pairs(
+            clustered_emb, threshold=0.999, n_clusters=4, seed=11,
+            assign="literal",
+        ).collect()
+    }
+    mat = {
+        (r.vec_id, r.dup_id)
+        for r in semantic_neardup_pairs(
+            clustered_emb, threshold=0.999, n_clusters=4, seed=11,
+            assign="matmul",
+        ).collect()
+    }
+    assert mat == lit
+    with pytest.raises(ValueError):
+        semantic_neardup_pairs(
+            clustered_emb, threshold=0.9, assign="bogus"
+        ).count()
