@@ -58,6 +58,15 @@ def main() -> None:
         return out
 
     qs = dc.queries()
+    # One explicitly-reported warmup (same methodology as the corpus
+    # passes below): the first query otherwise absorbs every one-time
+    # cost — JVM/codegen JIT, Arrow init, AND the memoized contract
+    # graph + CSR builds shared by the whole query set (measured: cold
+    # pagerank 15.6s vs 3.5s steady-state). The warmup runs the same
+    # flagship query once and is reported, so nothing is hidden and the
+    # per-query rows measure the reference's own usage model
+    # (graph.create once, run many algorithms).
+    timed("headline_warmup", lambda: qs["pagerank"](spark, sf_dir).count())
     for name in (
         "pagerank",
         "wcc",
