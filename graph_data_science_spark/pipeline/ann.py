@@ -578,6 +578,7 @@ def semantic_neardup_pairs(
     centroids: np.ndarray | None = None,
     max_cluster_size: int | None = None,
     assign: str = "auto",
+    pair_mode: str = "auto",
 ) -> DataFrame:
     """SemDeDup-formulation near-dup pairs: cluster the embedding space,
     then score pairs ONLY within a cluster (a<b, cosine >= threshold).
@@ -609,6 +610,12 @@ def semantic_neardup_pairs(
     never touch the plan), ``"auto"`` picks literal iff k*dim <= 4096.
     Both are deterministic; they may disagree on argmax ties in the last
     float ulp, so the contract oracle pins the literal path.
+
+    ``pair_mode``: ``"join"`` scores each candidate pair with the
+    sequential-fold JVM cosine (bit-equal to the DuckDB oracle);
+    ``"matmul"`` computes each cluster cell's full cosine matrix as one
+    blocked numpy GEMM inside ``applyInPandas`` (~10x faster per pair,
+    last-ulp different summation). ``"auto"`` follows ``assign``.
     """
     dim = len(emb.select(vec_col).first()[0])
     if centroids is None:
@@ -651,27 +658,79 @@ def semantic_neardup_pairs(
             .drop("__n")
         )
         keys = ["cluster", "cell"]
-    a = assigned.select(
-        *keys,
-        F.col("vec_id"),
-        F.col("v").alias("va"),
-        _norm_col("v").alias("na"),
-    )
-    b = assigned.select(
-        *keys,
-        F.col("vec_id").alias("dup_id"),
-        F.col("v").alias("vb"),
-        _norm_col("v").alias("nb"),
-    )
-    return (
-        a.join(b, keys)
-        .filter(F.col("vec_id") < F.col("dup_id"))
-        .select(
-            "vec_id",
-            "dup_id",
-            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+    if pair_mode == "auto":
+        pair_mode = "join" if assign == "literal" else "matmul"
+    if pair_mode == "join":
+        # oracle-replayable: sequential-fold cosine per pair, bit-equal to
+        # DuckDB's list_dot_product
+        a = assigned.select(
+            *keys,
+            F.col("vec_id"),
+            F.col("v").alias("va"),
+            _norm_col("v").alias("na"),
         )
-        .filter(F.col("cosine") >= threshold)
+        b = assigned.select(
+            *keys,
+            F.col("vec_id").alias("dup_id"),
+            F.col("v").alias("vb"),
+            _norm_col("v").alias("nb"),
+        )
+        return (
+            a.join(b, keys)
+            .filter(F.col("vec_id") < F.col("dup_id"))
+            .select(
+                "vec_id",
+                "dup_id",
+                (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias(
+                    "cosine"
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+    if pair_mode != "matmul":
+        raise ValueError(f"unknown pair_mode {pair_mode!r}")
+
+    # scale path: one normalized BLAS matmul per cluster cell instead of
+    # a per-pair higher-order-function fold — the whole cell's cosine
+    # matrix is one blocked GEMM, only (id, id, cosine) rows leave the
+    # worker. A cell must fit in executor memory: pair with
+    # max_cluster_size (cap x dim floats + a 2048 x cap score panel).
+    thr = float(threshold)
+
+    def cell_pairs(key, pdf):
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        mn = m / norms[:, None]
+        out = []
+        panel = 2048
+        for s in range(0, len(ids), panel):
+            sim = mn[s : s + panel] @ mn.T
+            ii, jj = np.nonzero(sim >= thr)
+            gi, gj = ids[s + ii], ids[jj]
+            keep = gi < gj
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": gi[keep],
+                        "dup_id": gj[keep],
+                        "cosine": sim[ii[keep], jj[keep]],
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {"vec_id": [], "dup_id": [], "cosine": []}
+            ).astype({"vec_id": "int64", "dup_id": "int64"})
+        )
+
+    return assigned.groupBy(*keys).applyInPandas(
+        cell_pairs, "vec_id long, dup_id long, cosine double"
     )
 
 
@@ -686,6 +745,7 @@ def semantic_dedup(
     centroids: np.ndarray | None = None,
     max_cluster_size: int | None = None,
     assign: str = "auto",
+    pair_mode: str = "auto",
 ) -> DataFrame:
     """(vec_id, keep): greedy-by-id dedup over the cluster-gated pair
     stream — a vector is dropped iff a same-cluster near-duplicate with a
@@ -695,6 +755,7 @@ def semantic_dedup(
         emb, threshold=threshold, n_clusters=n_clusters, seed=seed,
         id_col=id_col, vec_col=vec_col, centroids=centroids,
         max_cluster_size=max_cluster_size, assign=assign,
+        pair_mode=pair_mode,
     )
     dropped = pairs.select(F.col("dup_id").alias(id_col)).distinct()
     return (

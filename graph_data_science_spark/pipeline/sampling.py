@@ -40,15 +40,21 @@ _SEP = "\x1f"
 
 
 def sample_hash(seed: int, *cols: str | Column, base_hash: str = "md5") -> Column:
-    """Portable uniform hash on [0, 2**60) of (seed, *cols).
+    """Uniform hash on [0, 2**60) of (seed, *cols).
 
-    Identical bit-for-bit in Spark and DuckDB (md5 path), so oracle SQL
-    can replay every sampling decision exactly.
+    The md5 path is bit-identical in Spark and DuckDB, so oracle SQL can
+    replay every sampling decision exactly. The xxhash64 path (cheaper,
+    engine-local) is folded into the same range with pmod — exactly
+    uniform, since the 2^64 int64 values split into 16 full residue
+    classes of 2^60.
     """
     parts = [F.lit(str(int(seed)))] + [
         c if isinstance(c, Column) else F.col(c) for c in cols
     ]
-    return _base_hash(F.concat_ws(_SEP, *parts), base_hash)
+    h = _base_hash(F.concat_ws(_SEP, *parts), base_hash)
+    if base_hash == "xxhash64":
+        h = F.pmod(h, F.lit(HASH_SPACE))
+    return h
 
 
 def hash_sample(

@@ -131,3 +131,11 @@ def test_sample_hash_range(docs):
         F.max(sample_hash(3, "doc_id")).alias("hi"),
     ).collect()[0]
     assert 0 <= mm.lo and mm.hi < HASH_SPACE
+
+
+def test_hash_sample_xxhash64_rate(docs):
+    """The engine-local xxhash64 path folds into [0, 2^60) (pmod), so
+    thresholds keep their meaning (a raw signed hash would let every
+    negative value pass)."""
+    n = hash_sample(docs, 0.25, seed=3, base_hash="xxhash64").count()
+    assert 380 <= n <= 620

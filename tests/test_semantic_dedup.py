@@ -165,3 +165,38 @@ def test_assign_matmul_matches_literal(clustered_emb):
         semantic_neardup_pairs(
             clustered_emb, threshold=0.9, assign="bogus"
         ).count()
+
+
+def test_pair_mode_matmul_matches_join(clustered_emb):
+    """The GEMM pair scorer finds the same pair set as the JVM fold
+    (cosines may differ in the last ulp; the planted data has margin)."""
+    join_pairs = {
+        (r.vec_id, r.dup_id)
+        for r in semantic_neardup_pairs(
+            clustered_emb, threshold=0.999, n_clusters=4, seed=11,
+            pair_mode="join",
+        ).collect()
+    }
+    mm = semantic_neardup_pairs(
+        clustered_emb, threshold=0.999, n_clusters=4, seed=11,
+        pair_mode="matmul",
+    )
+    mm_pairs = {(r.vec_id, r.dup_id) for r in mm.collect()}
+    assert mm_pairs == join_pairs
+    assert all(r.cosine >= 0.999 for r in mm.collect())
+    with pytest.raises(ValueError):
+        semantic_neardup_pairs(
+            clustered_emb, threshold=0.9, pair_mode="bogus"
+        ).count()
+
+
+def test_pair_mode_matmul_with_cap(clustered_emb):
+    """GEMM scorer composes with the salt-split guard (grouping keys
+    include the cell)."""
+    out = semantic_neardup_pairs(
+        clustered_emb, threshold=0.999, n_clusters=4, seed=11,
+        pair_mode="matmul", max_cluster_size=8,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.vec_id < r.dup_id for r in rows)

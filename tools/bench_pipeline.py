@@ -161,6 +161,68 @@ def main() -> None:
         "quality_score", lambda: force(quality_score(docs), "score")
     )
 
+    # deterministic sampling: pure scan+filter (hash-gated), no shuffle
+    from graph_data_science_spark.pipeline.sampling import (
+        group_topk_sample,
+        hash_sample,
+        temperature_sample,
+    )
+
+    grouped = docs.withColumn(
+        "grp", F.concat(F.lit("s"), (F.col("doc_id") % 16).cast("string"))
+    )
+    # sampling always uses the md5 hash: thresholds assume the [0, 2^60)
+    # range (xxhash64 is signed-full-range and would skew the rate)
+    timed(
+        "hash_sample",
+        lambda: hash_sample(docs, 0.3, seed=7).count(),
+    )
+    timed(
+        "temperature_sample",
+        lambda: temperature_sample(
+            grouped, "grp", target_rows=n_docs // 4, alpha=0.5, seed=7
+        ).count(),
+    )
+    timed(
+        "group_topk_sample",
+        lambda: group_topk_sample(grouped, "grp", 1000, seed=7).count(),
+    )
+
+    # clustered semantic dedup over synthesized embeddings (planted
+    # duplicate pairs share the base vector, mirroring the text corpus)
+    from graph_data_science_spark.pipeline.ann import semantic_dedup
+
+    def gen_emb(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            vecs = []
+            for i in ids:
+                kind = i % 20
+                base = int(i - kind + 4) if kind < 2 else int(i)
+                rng = np.random.Generator(
+                    np.random.PCG64(base * 2654435761 % (2**63))
+                )
+                vecs.append(rng.standard_normal(64))
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+            )
+
+    emb = (
+        spark.range(n_docs, numPartitions=4 * cpus)
+        .mapInPandas(gen_emb, "vec_id long, embedding array<double>")
+        .localCheckpoint(eager=True)
+    )
+    timed(
+        "semantic_dedup",
+        lambda: force(
+            semantic_dedup(
+                emb, threshold=0.99, n_clusters=256, seed=11,
+                assign="matmul", max_cluster_size=20_000,
+            ),
+            "keep",
+        ),
+    )
+
     per_op = {
         k: {
             "sec": v,
