@@ -1,0 +1,115 @@
+"""Real pure-numpy codecs (WAV/PCM, PPM/PGM) + sniffing feature path."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_spark.pipeline.multimodal import (
+    _area_resize,
+    audio_features,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    extract_features,
+    resize_ppm_images,
+    synthesize_real_media,
+)
+
+
+def test_wav_roundtrip():
+    rate = 8000
+    t = np.arange(rate) / rate
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    back, r = decode_wav(encode_wav(x, rate))
+    assert r == rate
+    assert len(back) == len(x)
+    assert np.max(np.abs(back - x)) < 1e-4  # 16-bit quantization
+
+
+def test_wav_stereo_downmix_and_8bit():
+    import struct
+
+    # hand-built stereo 8-bit WAV: L=+1, R=-1 -> mono 0
+    data = bytes([255, 0] * 100)  # unsigned 8-bit: 255~+1, 0~-1
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 4000, 8000, 2, 8)
+    payload = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+        + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    x, rate = decode_wav(payload)
+    assert rate == 4000
+    assert len(x) == 100
+    assert np.max(np.abs(x)) < 0.01  # L and R cancel
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all, definitely")
+
+
+def test_ppm_roundtrip_and_comments():
+    img = np.arange(24 * 32 * 3, dtype=np.uint64).astype(np.uint8)
+    img = img.reshape(24, 32, 3)
+    back = decode_ppm(encode_ppm(img))
+    assert back.shape == (24, 32, 3)
+    assert np.array_equal(back, img)
+    # header comments are legal PPM
+    with_comment = b"P6\n# made by hand\n2 2\n255\n" + bytes(12)
+    assert decode_ppm(with_comment).shape == (2, 2, 3)
+
+
+def test_pgm_grayscale():
+    img = np.full((5, 7), 200, dtype=np.uint8)
+    back = decode_ppm(encode_ppm(img))
+    assert back.shape == (5, 7)
+    assert back.dtype == np.uint8
+
+
+def test_area_resize_preserves_mean():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:4] = 100  # top half 100, bottom half 0
+    small = _area_resize(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert small[:2].mean() == 100 and small[2:].mean() == 0
+    up = _area_resize(img, 16, 16)  # upscale: nearest
+    assert up.shape == (16, 16, 3)
+
+
+def test_audio_features_sine(spark):
+    media = synthesize_real_media(spark, 10, kind="wav")
+    feats = {r.media_id: r for r in audio_features(media).collect()}
+    assert len(feats) == 10
+    for i, r in feats.items():
+        planted = 200.0 + (i % 10) * 100.0
+        assert abs(r.spectral_centroid_hz - planted) < 30.0
+        assert abs(r.rms - 0.5 / np.sqrt(2)) < 0.01
+        assert abs(r.duration_s - 0.25) < 0.01
+
+
+def test_resize_ppm_via_spark(spark):
+    media = synthesize_real_media(spark, 6, kind="ppm")
+    out = resize_ppm_images(media, width=16, height=12).collect()
+    assert len(out) == 6
+    for r in out:
+        img = decode_ppm(bytes(r.payload))
+        assert img.shape == (12, 16, 3)
+        assert r.width == 16 and r.height == 12
+
+
+def test_extract_features_sniffs_real_formats(spark):
+    wav = synthesize_real_media(spark, 4, kind="wav")
+    ppm = synthesize_real_media(spark, 4, kind="ppm")
+    for media in (wav, ppm):
+        rows = extract_features(media, dim=8, use_stub=False).collect()
+        assert len(rows) == 4
+        assert all(len(r.feature) == 8 for r in rows)
+
+
+def test_extract_features_unknown_raises_without_stub(spark):
+    from graph_data_science_spark.pipeline.multimodal import synthesize_media
+
+    fake = synthesize_media(spark, 3)  # sha256 payloads: no magic
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
+        extract_features(fake, use_stub=False).collect()
+    # stub path still works for unknown payloads
+    assert extract_features(fake, use_stub=True).count() == 3
