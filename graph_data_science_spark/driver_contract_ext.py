@@ -2129,6 +2129,188 @@ SELECT doc_id, source FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation: PII scan/redaction, decontamination, sequence packing
+# ---------------------------------------------------------------------------
+# The synthetic documents are PII-free word soup, so the PII contract
+# plants deterministic PII — an email for every doc plus class literals
+# gated on doc_id residues — identically on both engines. The oracle then
+# genuinely exercises Java-regex vs RE2 parity on the real patterns.
+
+_PII_PLANT = (
+    ("ssn", 3, " 123-45-6789"),
+    ("credit_card", 4, " 4111 1111 1111 1111"),
+    ("phone", 5, " 555-867-5309"),
+    ("ipv4", 7, " 10.0.0.1"),
+)
+
+
+def _pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _documents
+
+    d = F.col("doc_id")
+    parts = [
+        F.col("text"),
+        F.lit(" contact"),
+        d.cast("string"),
+        F.lit("@example.com"),
+    ]
+    for _name, mod, lit in _PII_PLANT:
+        parts.append(F.when(d % mod == 0, F.lit(lit)).otherwise(F.lit("")))
+    return _documents(spark, sf_dir).select(
+        "doc_id", F.concat(*parts).alias("text")
+    )
+
+
+_SQL_PII_PLANTED = (
+    "SELECT doc_id, text || ' contact' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com'"
+    + "".join(
+        f" || CASE WHEN doc_id % {mod} = 0 THEN '{lit}' ELSE '' END"
+        for _name, mod, lit in _PII_PLANT
+    )
+    + " AS text FROM documents"
+)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class PII match counts; pure codegen projection (zero shuffle).
+
+    Parity target: ref has no PII ops — this is a training-data-pipeline
+    first-class operator (scan side of scrubbing)."""
+    from .pipeline.curation import pii_scan
+
+    return pii_scan(_pii_planted(spark, sf_dir))
+
+
+def sql_pii_scan() -> str:
+    from .pipeline.curation import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"WITH planted AS ({_SQL_PII_PLANTED}) " \
+           f"SELECT doc_id, {counts} FROM planted"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered redaction chain — full rewritten text is value-hashed, so
+    the oracle pins both the patterns and the application order."""
+    from .pipeline.curation import pii_redact
+
+    return pii_redact(_pii_planted(spark, sf_dir))
+
+
+def sql_pii_redact() -> str:
+    from .pipeline.curation import PII_PATTERNS
+
+    expr = "text"
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"WITH planted AS ({_SQL_PII_PLANTED}) " \
+           f"SELECT doc_id, {expr} AS text FROM planted"
+
+
+DECON_WINDOW = 8
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the 'eval set' is every 17th document,
+    so flagged rows = those docs themselves plus true cross-doc span
+    collisions (the corpus has boilerplate-duplicated spans)."""
+    from .driver_contract import _documents
+    from .pipeline.curation import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(docs, bench, DECON_WINDOW).withColumn(
+        "contaminated", F.col("contaminated").cast("long")
+    )
+
+
+def sql_decontaminate() -> str:
+    w = DECON_WINDOW
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+spans AS (SELECT doc_id,
+          ('0x' || substr(md5(array_to_string(t[i:i+{w - 1}], ' ')),
+           1, 15))::BIGINT AS span_hash
+          FROM toks, UNNEST(range(1, len(t) - {w - 2})) AS u(i)
+          WHERE len(t) >= {w}),
+bench AS (SELECT DISTINCT span_hash FROM spans WHERE doc_id % 17 = 0),
+hits AS (SELECT s.doc_id, COUNT(*) AS n_contaminated_spans FROM spans s
+         WHERE EXISTS (SELECT 1 FROM bench b
+                       WHERE b.span_hash = s.span_hash)
+         GROUP BY 1)
+SELECT t.doc_id,
+       CAST(GREATEST(len(t.t) - {w - 1}, 0) AS BIGINT) AS n_spans,
+       COALESCE(h.n_contaminated_spans, 0) AS n_contaminated_spans,
+       CAST(COALESCE(h.n_contaminated_spans, 0) > 0 AS BIGINT)
+         AS contaminated
+FROM toks t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+PACK_SEQ_LEN = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut packing offsets via distributed prefix sum; the
+    oracle recomputes the global running sum with a plain window — exact
+    equality pins the range-partition + per-partition-offset machinery."""
+    from .driver_contract import _documents
+    from .pipeline.curation import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), PACK_SEQ_LEN)
+
+
+def sql_pack_sequences() -> str:
+    s = PACK_SEQ_LEN
+    return f"""
+WITH counts AS (SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (SELECT doc_id, n_tokens,
+  SUM(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+    AS start_token FROM counts)
+SELECT doc_id, n_tokens, CAST(start_token AS BIGINT) AS start_token,
+  CAST(start_token // {s} AS BIGINT) AS first_seq,
+  CAST((start_token + GREATEST(n_tokens, 1) - 1) // {s} AS BIGINT)
+    AS last_seq,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (start_token + GREATEST(n_tokens, 1) - 1) // {s}
+            - start_token // {s} + 1
+       ELSE 0 END AS BIGINT) AS n_seqs
+FROM cum
+"""
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _documents
+    from .pipeline.curation import pack_sequences, packing_stats
+
+    packed = pack_sequences(_documents(spark, sf_dir), PACK_SEQ_LEN)
+    return packing_stats(packed, PACK_SEQ_LEN)
+
+
+def sql_packing_stats() -> str:
+    s = PACK_SEQ_LEN
+    return f"""
+WITH counts AS (SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(CEIL(SUM(n_tokens) / {s}.0) AS BIGINT) AS n_sequences,
+  ROUND(SUM(n_tokens) / (CEIL(SUM(n_tokens) / {s}.0) * {s}.0), 6)
+    AS fill_frac
+FROM counts
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -2188,6 +2370,12 @@ def ext_queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "temperature_sample": q_temperature_sample,
         "group_topk_sample": q_group_topk_sample,
+        # corpus curation (PII, decontamination, packing)
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "packing_stats": q_packing_stats,
     }
 
 
@@ -2239,4 +2427,9 @@ def ext_oracle_sql() -> dict:
         "stratified_sample": sql_stratified_sample(),
         "temperature_sample": sql_temperature_sample(),
         "group_topk_sample": sql_group_topk_sample(),
+        "pii_scan": sql_pii_scan(),
+        "pii_redact": sql_pii_redact(),
+        "decontaminate": sql_decontaminate(),
+        "pack_sequences": sql_pack_sequences(),
+        "packing_stats": sql_packing_stats(),
     }
