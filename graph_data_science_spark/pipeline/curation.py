@@ -115,7 +115,10 @@ def decontaminate(
     hashes are computed in the scan projection and only (doc_id, pos,
     hash) rows shuffle. Output is one row per input document.
     """
-    bench_hashes = (
+    # explicit broadcast: the distinct-hash side comes out of an
+    # aggregation, so Catalyst has no size estimate to auto-broadcast on;
+    # an eval suite is ~10^6 spans (~10 MB of longs) vs the corpus scan
+    bench_hashes = F.broadcast(
         _span_hashes(benchmark, window, text_col, base_hash)
         .select("span_hash")
         .distinct()

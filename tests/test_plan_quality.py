@@ -63,3 +63,21 @@ def test_shared_edge_subtrees_materialized(spark, contract_queries):
         assert scans <= max_scans, (
             f"{name}: {scans} parquet scans — shared subtree re-derived"
         )
+
+
+def test_pii_ops_are_pure_projections(spark, contract_queries):
+    # PII scan/redact must stay zero-shuffle codegen projections — any
+    # Exchange here means a 100-TB linear scan suddenly shuffles
+    for name in ["pii_scan", "pii_redact"]:
+        plan = _plan(contract_queries[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name}: Python UDF"
+        assert "Exchange" not in plan, f"{name}: unexpected shuffle"
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, contract_queries):
+    # the DISTINCT benchmark-hash side has no Catalyst size estimate; the
+    # explicit hint must make the semi-join a broadcast, never a shuffle
+    # of the full corpus span table against the tiny eval set
+    plan = _plan(contract_queries["decontaminate"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, "benchmark semi-join not broadcast"
