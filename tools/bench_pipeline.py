@@ -72,6 +72,14 @@ def synthesize_docs(spark, n_docs: int):
                         " ".join(toks[:mid]) + " " + BOILER + " "
                         + " ".join(toks[mid:])
                     )
+                elif kind == 5:
+                    # unique doc carrying planted PII (email + phone) so
+                    # the pii ops measure real match/rewrite work, not
+                    # just a clean-text regex scan
+                    toks = list(rng.choice(WORDS, size=40 + int(i) % 120))
+                    toks.append(f"user{int(i)}@example.com")
+                    toks.append("555-867-5309")
+                    texts.append(" ".join(toks))
                 else:
                     toks = rng.choice(WORDS, size=40 + int(i) % 120)
                     texts.append(" ".join(toks))
@@ -123,9 +131,10 @@ def main() -> None:
     # joins, timing a pruned plan instead of the operator
     from pyspark.sql import functions as F
 
-    def force(df, col):
+    def force(df, *cols):
         row = df.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.hash(col)).alias("h")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash(*[F.col(c) for c in cols])).alias("h"),
         ).collect()[0]
         return int(row["n"])
 
@@ -159,6 +168,39 @@ def main() -> None:
     )
     timed(
         "quality_score", lambda: force(quality_score(docs), "score")
+    )
+
+    # curation: PII (zero-shuffle projections), n-gram decontamination
+    # (broadcast semi-join of benchmark span hashes), sequence packing
+    # (distributed prefix sum)
+    from graph_data_science_spark.pipeline.curation import (
+        decontaminate,
+        pack_sequences,
+        pii_redact,
+        pii_scan,
+    )
+
+    timed(
+        "pii_scan",
+        lambda: force(
+            pii_scan(docs),
+            "n_email", "n_ssn", "n_credit_card", "n_phone", "n_ipv4",
+        ),
+    )
+    timed("pii_redact", lambda: force(pii_redact(docs), "text"))
+    # benchmark/eval set: ~n_docs/997 held-out docs (eval suites are tiny
+    # next to the corpus; the distinct-hash side broadcasts)
+    bench_docs = docs.filter(F.col("doc_id") % 997 == 3)
+    timed(
+        "decontaminate",
+        lambda: force(
+            decontaminate(docs, bench_docs, 8, base_hash=base_hash),
+            "n_contaminated_spans",
+        ),
+    )
+    timed(
+        "pack_sequences",
+        lambda: force(pack_sequences(docs, 2048), "start_token"),
     )
 
     # deterministic sampling: pure scan+filter (hash-gated), no shuffle
