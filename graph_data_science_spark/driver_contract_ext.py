@@ -2311,6 +2311,182 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# tf-idf keywords / heuristic quality gates / unigram LM (pipeline/text.py)
+# ---------------------------------------------------------------------------
+TFIDF_K = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _documents
+    from .pipeline.text import tfidf_topk
+
+    return tfidf_topk(_documents(spark, sf_dir), TFIDF_K)
+
+
+def sql_tfidf_topk() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, u.term
+              FROM (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents), UNNEST(t) AS u(term)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (SELECT doc_id, term, tf,
+           ROUND(tf * (LN((1 + n.n)::DOUBLE / (1 + dfx.df)) + 1), 6)
+             AS tfidf
+           FROM tf JOIN dfx USING (term), n),
+ranked AS (SELECT *, ROW_NUMBER() OVER
+           (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS kw_rank
+           FROM scored)
+SELECT doc_id, term, tf, tfidf, kw_rank FROM ranked WHERE kw_rank <= {TFIDF_K}
+"""
+
+
+def q_heuristic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _documents
+    from .pipeline.text import heuristic_filters
+
+    return heuristic_filters(_documents(spark, sf_dir))
+
+
+def sql_heuristic_filters() -> str:
+    from .pipeline.text import STOPWORDS_EN
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH base AS (SELECT doc_id, text,
+        string_split(text, chr(10)) AS lines,
+        regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sig AS (SELECT doc_id,
+  len(lines) AS n_lines,
+  len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+      s -> trim(s) <> '')) AS n_sentences,
+  len(t) AS n_toks,
+  length(array_to_string(t, '')) AS tok_chars,
+  len(list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"'']$')))
+    AS n_punct_lines,
+  len(list_filter(t, x -> list_contains([{stop}], x))) AS n_stop,
+  len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS n_alpha,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{{') AS has_brace
+  FROM base)
+SELECT doc_id, n_lines, n_sentences,
+  ROUND(n_toks::DOUBLE / n_lines, 6) AS mean_words_per_line,
+  ROUND(tok_chars::DOUBLE / n_toks, 6) AS mean_word_len,
+  ROUND(n_punct_lines::DOUBLE / n_lines, 6) AS frac_lines_end_punct,
+  ROUND(n_stop::DOUBLE / n_toks, 6) AS stopword_frac,
+  ROUND(n_alpha::DOUBLE / n_toks, 6) AS frac_alpha_tokens,
+  has_lorem_ipsum, has_brace,
+  (n_toks BETWEEN 50 AND 100000
+   AND ROUND(tok_chars::DOUBLE / n_toks, 6) BETWEEN 3.0 AND 10.0
+   AND ROUND(n_alpha::DOUBLE / n_toks, 6) >= 0.8
+   AND NOT has_lorem_ipsum AND NOT has_brace) AS keep
+FROM sig
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _documents
+    from .pipeline.text import unigram_logprob
+
+    return unigram_logprob(_documents(spark, sf_dir))
+
+
+def sql_unigram_logprob() -> str:
+    return """
+WITH toks AS (SELECT doc_id, u.term
+              FROM (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents), UNNEST(t) AS u(term)),
+vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT COUNT(*) AS t FROM toks)
+SELECT doc_id,
+       ROUND(AVG(LN(vocab.c::DOUBLE / tot.t)), 6) AS avg_logprob,
+       COUNT(*) AS n_tokens
+FROM toks JOIN vocab USING (term), tot
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: exact-oracle coverage for the binary encode->decode->feature
+# path (pipeline/multimodal.py). Payloads are integer-valued pure functions
+# of doc_id, so DuckDB replays the WAV PCM samples / PPM pixels themselves.
+# ---------------------------------------------------------------------------
+PCM_N_SAMPLES = 512
+PPM_W, PPM_H = 32, 24
+PPM_OUT_W, PPM_OUT_H = 8, 6
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize real RIFF/WAVE payloads (LCG int16 samples), push them
+    through the binary column -> decode_wav -> integer feature path."""
+    from .driver_contract import _documents
+    from .pipeline.multimodal import pcm_stats, synthesize_pcm_corpus
+
+    ids = _documents(spark, sf_dir).select("doc_id")
+    return pcm_stats(synthesize_pcm_corpus(ids, n_samples=PCM_N_SAMPLES))
+
+
+def sql_multimodal_audio() -> str:
+    from .pipeline.multimodal import PCM_LCG_A, PCM_LCG_B
+
+    n = PCM_N_SAMPLES
+    return f"""
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+samp AS (SELECT media_id, u.i,
+         (({PCM_LCG_A} * u.i + {PCM_LCG_B} * (media_id + 1)) % 65536)
+           - 32768 AS s
+         FROM ids, UNNEST(range(0, {n})) AS u(i)),
+lagged AS (SELECT media_id, s,
+           LAG(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+           FROM samp)
+SELECT media_id,
+  COUNT(*) AS n_samples,
+  SUM(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (s < 0)
+      THEN 1 ELSE 0 END) AS zero_cross,
+  MAX(abs(s)) AS peak,
+  CAST(SUM(s) AS BIGINT) AS sample_sum,
+  sqrt(SUM(s * s)::DOUBLE / COUNT(*)) AS rms
+FROM lagged GROUP BY media_id
+"""
+
+
+def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize real PPM payloads (gradient pixels), decode ->
+    area-average downscale -> integer pixel stats."""
+    from .driver_contract import _documents
+    from .pipeline.multimodal import (
+        ppm_resize_stats,
+        synthesize_gradient_ppm,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id")
+    media = synthesize_gradient_ppm(ids, width=PPM_W, height=PPM_H)
+    return ppm_resize_stats(media, width=PPM_OUT_W, height=PPM_OUT_H)
+
+
+def sql_multimodal_image() -> str:
+    fy, fx = PPM_H // PPM_OUT_H, PPM_W // PPM_OUT_W
+    return f"""
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+px AS (SELECT media_id, y.y, x.x, c.c,
+       (3 * x.x + 7 * y.y + 11 * c.c + media_id) % 256 AS v
+       FROM ids, UNNEST(range(0, {PPM_H})) AS y(y),
+            UNNEST(range(0, {PPM_W})) AS x(x),
+            UNNEST(range(0, 3)) AS c(c)),
+rs AS (SELECT media_id, y // {fy} AS by, x // {fx} AS bx, c,
+       SUM(v) // {fy * fx} AS rv
+       FROM px GROUP BY 1, 2, 3, 4)
+SELECT media_id, {PPM_OUT_W} AS out_width, {PPM_OUT_H} AS out_height,
+       CAST(SUM(rv) AS BIGINT) AS pixel_sum,
+       MIN(rv) AS pixel_min, MAX(rv) AS pixel_max
+FROM rs GROUP BY media_id
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -2376,6 +2552,13 @@ def ext_queries() -> dict:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
+        # text analysis: keywords / quality gates / unigram LM
+        "tfidf_topk": q_tfidf_topk,
+        "heuristic_filters": q_heuristic_filters,
+        "unigram_logprob": q_unigram_logprob,
+        # multimodal binary columns (exact integer-replay oracles)
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_image": q_multimodal_image,
     }
 
 
@@ -2432,4 +2615,9 @@ def ext_oracle_sql() -> dict:
         "decontaminate": sql_decontaminate(),
         "pack_sequences": sql_pack_sequences(),
         "packing_stats": sql_packing_stats(),
+        "tfidf_topk": sql_tfidf_topk(),
+        "heuristic_filters": sql_heuristic_filters(),
+        "unigram_logprob": sql_unigram_logprob(),
+        "multimodal_audio": sql_multimodal_audio(),
+        "multimodal_image": sql_multimodal_image(),
     }

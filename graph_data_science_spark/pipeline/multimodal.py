@@ -156,10 +156,21 @@ def sample_frames(
 # Real pure-numpy codecs for uncompressed formats (WAV/PCM, PPM/PGM)
 # ---------------------------------------------------------------------------
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Mono float [-1, 1] -> 16-bit PCM RIFF/WAVE bytes."""
-    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    """Mono audio -> 16-bit PCM RIFF/WAVE bytes. Float input is taken as
+    [-1, 1] and scaled; integer input is written as raw PCM verbatim
+    (exact round-trip through :func:`decode_wav` — the sample values are
+    recoverable bit-for-bit, which the contract oracles rely on)."""
+    arr = np.asarray(samples)
+    if arr.dtype.kind in "iu":
+        pcm16 = arr.astype("<i2")
+        data = pcm16.tobytes()
+        return _wav_container(data, sample_rate)
+    pcm = np.clip(arr.astype(np.float64), -1.0, 1.0)
     pcm16 = (pcm * 32767.0).astype("<i2")
-    data = pcm16.tobytes()
+    return _wav_container(pcm16.tobytes(), sample_rate)
+
+
+def _wav_container(data: bytes, sample_rate: int) -> bytes:
     import struct
 
     fmt = struct.pack(
@@ -372,3 +383,159 @@ def resize_ppm_images(media: DataFrame, *, width: int, height: int) -> DataFrame
             yield out
 
     return media.mapInPandas(rz, MEDIA_SCHEMA)
+
+
+# --- exact-replay synthetic corpora + integer-domain stats ---------------
+# These two pairs exist so the driver's DuckDB correctness gate can check
+# the binary encode -> decode -> feature path EXACTLY: the payloads are
+# integer-valued pure functions of the id (no libm in the waveform), and
+# the stats below stay in integer arithmetic until one final sqrt/div, so
+# an oracle can regenerate both sides bit-for-bit in SQL.
+
+PCM_LCG_A = 1103515245
+PCM_LCG_B = 12345
+
+
+def synthesize_pcm_corpus(
+    ids: DataFrame, *, n_samples: int = 2000, rate: int = 8000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One real 16-bit WAV payload per input id. Sample ``i`` of doc
+    ``d`` is the integer ``((A*i + B*(d+1)) mod 65536) - 32768`` — full
+    int16 range, exact in any engine's 64-bit integer arithmetic."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in it:
+            out = []
+            for d in pdf[id_col].to_numpy(np.int64):
+                s = (PCM_LCG_A * i + PCM_LCG_B * (int(d) + 1)) % 65536 - 32768
+                payload = encode_wav(s.astype(np.int16), rate)
+                out.append(
+                    (int(d), "audio", payload, 0, 0, rate,
+                     int(n_samples * 1000 / rate))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "sample_rate", "duration_ms",
+                ],
+            )
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def pcm_stats(media: DataFrame) -> DataFrame:
+    """(media_id, n_samples, zero_cross, peak, sample_sum, rms) over the
+    RAW int16 samples of each WAV payload. ``decode_wav`` scales by the
+    power-of-two 32768, so ``x * 32768`` recovers the integers exactly;
+    every aggregate except rms stays in int64, and rms is a single IEEE
+    divide + sqrt of exact integers (bit-identical in any engine) — no
+    rounding anywhere, so a SQL oracle replays every value."""
+
+    def fe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(np.int64), pdf["payload"]
+            ):
+                x, _rate = decode_wav(bytes(payload))
+                s = np.rint(x * 32768.0).astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    rows.append((int(mid), 0, 0, 0, 0, 0.0))
+                    continue
+                zc = int(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0)))
+                sq = int((s * s).sum())
+                rows.append(
+                    (
+                        int(mid), n, zc, int(np.abs(s).max()),
+                        int(s.sum()), float(np.sqrt(sq / n)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "zero_cross", "peak",
+                    "sample_sum", "rms",
+                ],
+            )
+
+    return media.mapInPandas(
+        fe,
+        "media_id long, n_samples long, zero_cross long, peak long, "
+        "sample_sum long, rms double",
+    )
+
+
+def synthesize_gradient_ppm(
+    ids: DataFrame, *, width: int = 32, height: int = 24,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One real PPM (P6) payload per id: pixel ``(y, x, c)`` is
+    ``(3x + 7y + 11c + d) mod 256`` — integer-exact, replayable."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(height, dtype=np.int64)[:, None, None]
+        x = np.arange(width, dtype=np.int64)[None, :, None]
+        c = np.arange(3, dtype=np.int64)[None, None, :]
+        base = 3 * x + 7 * y + 11 * c
+        for pdf in it:
+            out = []
+            for d in pdf[id_col].to_numpy(np.int64):
+                img = ((base + int(d)) % 256).astype(np.uint8)
+                out.append(
+                    (int(d), "image", encode_ppm(img), width, height, 0, 0)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "sample_rate", "duration_ms",
+                ],
+            )
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def ppm_resize_stats(
+    media: DataFrame, *, width: int, height: int
+) -> DataFrame:
+    """(media_id, out_width, out_height, pixel_sum, pixel_min, pixel_max)
+    after decode -> area-average downscale. When the source dims are
+    integer multiples of the target, each output pixel is
+    ``floor(block_sum / block_area)`` (uint8 truncation of an exact
+    integer mean) — SQL-replayable."""
+
+    def rz(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(np.int64), pdf["payload"]
+            ):
+                img = _area_resize(decode_ppm(bytes(payload)), width, height)
+                rows.append(
+                    (
+                        int(mid), img.shape[1], img.shape[0],
+                        int(img.astype(np.int64).sum()),
+                        int(img.min()), int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_width", "out_height", "pixel_sum",
+                    "pixel_min", "pixel_max",
+                ],
+            )
+
+    return media.mapInPandas(
+        rz,
+        "media_id long, out_width long, out_height long, pixel_sum long, "
+        "pixel_min long, pixel_max long",
+    )

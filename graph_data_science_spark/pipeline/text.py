@@ -853,3 +853,161 @@ def dedup_clusters(
         "cluster_id",
         (F.col(doc_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+# --- tf-idf keywords / heuristic quality gates / unigram LM --------------
+
+# Small fixed English stopword list for the heuristic filters. Kept tiny
+# and frozen so the oracle SQL can inline it verbatim.
+STOPWORDS_EN = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "that", "it",
+    "for", "on", "with", "as", "are",
+)
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 5, *, min_df: int = 1, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, tfidf, kw_rank): top-``k`` keywords per doc by
+    smoothed tf-idf (sklearn formulation: ``idf = ln((1+N)/(1+df)) + 1``),
+    ties broken by term ascending — fully deterministic.
+
+    Scale: the document-frequency table is vocabulary-sized (<< corpus),
+    broadcast into the scoring join; the top-k window partitions by
+    doc_id so there is no global sort — one tokens shuffle, one
+    per-doc-partition window."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_tbl = df_tbl.filter(F.col("df") >= min_df)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((1 + F.col("__n")) / (1 + F.col("df"))) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "tfidf",
+            F.col("kw_rank").cast("long").alias("kw_rank"),
+        )
+    )
+
+
+def heuristic_filters(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style per-document heuristic quality gates (Raffel et
+    al. 2020 §2.2; Rae et al. 2021 A1.1) — one row per doc with the raw
+    signals plus the combined ``keep`` verdict:
+
+    - ``n_lines`` / ``n_sentences`` (sentences = non-empty ``[.!?]+``
+      splits), ``mean_words_per_line``
+    - ``mean_word_len`` — Gopher keeps 3..10
+    - ``frac_lines_end_punct`` — C4 keeps lines ending in terminal
+      punctuation
+    - ``stopword_frac`` / ``frac_alpha_tokens`` — Gopher symbol/word
+      ratio gates
+    - ``has_lorem_ipsum`` / ``has_brace`` — C4 page-level rejects
+    - ``keep`` = 50 <= n_tokens <= 100000 AND 3 <= mean_word_len <= 10
+      AND frac_alpha_tokens >= 0.8 AND NOT lorem AND NOT brace
+
+    Zero-shuffle: every signal is a whole-stage-codegen projection over
+    the text column (higher-order array functions, no UDF, no explode)."""
+    toks = tokens_col(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tokens = F.size(toks)
+    tok_chars = F.length(F.array_join(toks, ""))
+    mean_word_len = F.round(tok_chars / n_tokens, 6)
+    n_sentences = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.trim(s) != F.lit(""),
+        )
+    )
+    frac_alpha = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+        / n_tokens,
+        6,
+    )
+    has_lorem = F.instr(F.lower(F.col(text_col)), "lorem ipsum") > 0
+    has_brace = F.instr(F.col(text_col), "{") > 0
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        F.round(n_tokens / F.size(lines), 6).alias("mean_words_per_line"),
+        mean_word_len.alias("mean_word_len"),
+        F.round(
+            F.size(
+                F.filter(
+                    lines, lambda ln: F.rtrim(ln).rlike("[.!?\"']$")
+                )
+            )
+            / F.size(lines),
+            6,
+        ).alias("frac_lines_end_punct"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / n_tokens,
+            6,
+        ).alias("stopword_frac"),
+        frac_alpha.alias("frac_alpha_tokens"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (
+            (n_tokens >= 50)
+            & (n_tokens <= 100000)
+            & (mean_word_len >= 3.0)
+            & (mean_word_len <= 10.0)
+            & (frac_alpha >= 0.8)
+            & ~has_lorem
+            & ~has_brace
+        ).alias("keep"),
+    )
+
+
+def unigram_logprob(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, avg_logprob, n_tokens): corpus-unigram LM score — the
+    mean ``ln P(token)`` of each doc under the corpus's own unigram
+    distribution. The cheap stand-in for KenLM perplexity filtering:
+    rare-token soup / OCR garbage scores far below fluent text.
+
+    Scale: the vocabulary table is tiny relative to the corpus (Heaps'
+    law) — broadcast into the scoring join; one tokens shuffle for the
+    vocab count, one per-doc aggregation."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    total = toks.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("__c") / F.col("__t"))), 6).alias(
+                "avg_logprob"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

@@ -1,0 +1,137 @@
+"""tf-idf keywords, heuristic quality gates, unigram LM, and the
+exact-replay multimodal stats (pipeline pass 11)."""
+
+import math
+
+import numpy as np
+
+from graph_data_science_spark.pipeline.multimodal import (
+    PCM_LCG_A,
+    PCM_LCG_B,
+    pcm_stats,
+    ppm_resize_stats,
+    synthesize_gradient_ppm,
+    synthesize_pcm_corpus,
+)
+from graph_data_science_spark.pipeline.text import (
+    heuristic_filters,
+    tfidf_topk,
+    unigram_logprob,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_topk_ranks_rare_terms_highest(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common"),
+            (2, "common common durian"),
+        ],
+    )
+    out = {
+        (r.doc_id, r.kw_rank): (r.term, r.tf, r.tfidf)
+        for r in tfidf_topk(docs, 2).collect()
+    }
+    # doc 0: apple tf=2 df=1 beats banana tf=1 df=2 and common df=3
+    assert out[(0, 1)][0] == "apple"
+    term, tf, tfidf = out[(0, 1)]
+    assert tf == 2
+    assert abs(tfidf - round(2 * (math.log(4 / 2) + 1), 6)) < 1e-9
+    # doc 2: common tf=2*idf(1.0)=2.0 still beats durian 1*1.693
+    assert out[(2, 1)][0] == "common"
+    assert out[(2, 2)][0] == "durian"
+    # deterministic tie-break: equal score -> term ascending
+    t1 = _docs(spark, [(7, "zebra apple")])
+    r = tfidf_topk(t1, 2).collect()
+    assert [x.term for x in sorted(r, key=lambda x: x.kw_rank)] == [
+        "apple", "zebra",
+    ]
+
+
+def test_heuristic_filters_signals_and_keep(spark):
+    good = " ".join(["the quick brown fox jumps over lazy dogs"] * 8)
+    docs = _docs(
+        spark,
+        [
+            (0, good),                               # passes every gate
+            (1, "lorem ipsum " + good),              # lorem reject
+            (2, "x { y } " + good),                  # brace reject
+            (3, "short doc"),                        # < 50 tokens
+            (4, "One line. Two lines!\nEnds here?"), # sentences + punct
+        ],
+    )
+    out = {r.doc_id: r for r in heuristic_filters(docs).collect()}
+    assert out[0].keep and not out[1].keep and not out[2].keep
+    assert not out[3].keep
+    assert out[0].frac_alpha_tokens == 1.0
+    assert out[0].stopword_frac > 0  # 'the' and 'over' hit the list
+    assert out[4].n_sentences == 3
+    assert out[4].n_lines == 2
+    assert out[4].frac_lines_end_punct == 1.0
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "common common common common"),
+            (1, "common rareword"),
+        ],
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert out[0].n_tokens == 4 and out[1].n_tokens == 2
+    assert out[0].avg_logprob > out[1].avg_logprob
+    # exact: doc0 = ln(5/6); doc1 = (ln(5/6) + ln(1/6)) / 2
+    assert abs(out[0].avg_logprob - round(math.log(5 / 6), 6)) < 1e-9
+    assert abs(
+        out[1].avg_logprob
+        - round((math.log(5 / 6) + math.log(1 / 6)) / 2, 6)
+    ) < 1e-9
+
+
+def test_pcm_corpus_stats_match_direct_numpy(spark):
+    ids = spark.createDataFrame([(d,) for d in range(6)], "doc_id long")
+    out = {
+        r.media_id: r
+        for r in pcm_stats(synthesize_pcm_corpus(ids, n_samples=256)).collect()
+    }
+    i = np.arange(256, dtype=np.int64)
+    for d in range(6):
+        s = (PCM_LCG_A * i + PCM_LCG_B * (d + 1)) % 65536 - 32768
+        r = out[d]
+        assert r.n_samples == 256
+        assert r.sample_sum == int(s.sum())
+        assert r.peak == int(np.abs(s).max())
+        assert r.zero_cross == int(
+            np.count_nonzero((s[1:] < 0) != (s[:-1] < 0))
+        )
+        assert r.rms == float(np.sqrt(int((s * s).sum()) / 256))
+
+
+def test_ppm_gradient_resize_stats_exact(spark):
+    ids = spark.createDataFrame([(d,) for d in range(4)], "doc_id long")
+    media = synthesize_gradient_ppm(ids, width=16, height=8)
+    out = {
+        r.media_id: r
+        for r in ppm_resize_stats(media, width=4, height=2).collect()
+    }
+    y = np.arange(8)[:, None, None]
+    x = np.arange(16)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    for d in range(4):
+        img = (3 * x + 7 * y + 11 * c + d) % 256
+        # 4x4 blocks, uint8 truncation of the block mean
+        blocks = img.reshape(2, 4, 4, 4, 3).swapaxes(1, 2)
+        resized = (
+            blocks.reshape(2, 4, 16, 3).astype(np.float64).mean(axis=2)
+        ).astype(np.uint8)
+        r = out[d]
+        assert (r.out_width, r.out_height) == (4, 2)
+        assert r.pixel_sum == int(resized.astype(np.int64).sum())
+        assert r.pixel_min == int(resized.min())
+        assert r.pixel_max == int(resized.max())
