@@ -881,7 +881,12 @@ def tfidf_topk(
     toks = docs.select(
         "doc_id", F.explode(tokens_col(text_col)).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df aggregation and the scoring join — cache so
+    # the token explode+shuffle runs once, not twice (at corpus scale
+    # you'd persist this to disk instead)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).cache()
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         df_tbl = df_tbl.filter(F.col("df") >= min_df)
@@ -992,22 +997,32 @@ def unigram_logprob(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     distribution. The cheap stand-in for KenLM perplexity filtering:
     rare-token soup / OCR garbage scores far below fluent text.
 
-    Scale: the vocabulary table is tiny relative to the corpus (Heaps'
-    law) — broadcast into the scoring join; one tokens shuffle for the
-    vocab count, one per-doc aggregation."""
+    Scale: everything past the first shuffle runs at (doc, term)
+    granularity, never per token — the mean is tf-weighted, which is
+    algebraically identical to the per-token mean. The vocabulary table
+    is tiny relative to the corpus (Heaps' law) and is broadcast into
+    the scoring join; its own aggregation gets map-side partial combine,
+    so hot terms ("the") never concentrate rows on one reducer."""
     toks = docs.select(
         "doc_id", F.explode(tokens_col(text_col)).alias("term")
     )
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
-    total = toks.agg(F.count(F.lit(1)).alias("__t"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("__tf")
+    ).cache()
+    vocab = tf.groupBy("term").agg(F.sum("__tf").alias("__c"))
+    total = tf.agg(F.sum("__tf").alias("__t"))
     return (
-        toks.join(F.broadcast(vocab), "term")
+        tf.join(F.broadcast(vocab), "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(F.log(F.col("__c") / F.col("__t"))), 6).alias(
-                "avg_logprob"
-            ),
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("__tf") * F.log(F.col("__c") / F.col("__t"))
+                )
+                / F.sum("__tf"),
+                6,
+            ).alias("avg_logprob"),
+            F.sum("__tf").cast("long").alias("n_tokens"),
         )
     )

@@ -170,6 +170,28 @@ def main() -> None:
         "quality_score", lambda: force(quality_score(docs), "score")
     )
 
+    from graph_data_science_spark.pipeline.text import (
+        heuristic_filters,
+        tfidf_topk,
+        unigram_logprob,
+    )
+
+    timed(
+        "tfidf_top5",
+        lambda: force(tfidf_topk(docs, 5), "term", "tfidf"),
+    )
+    timed(
+        "heuristic_filters",
+        lambda: force(
+            heuristic_filters(docs), "keep", "mean_word_len",
+            "stopword_frac",
+        ),
+    )
+    timed(
+        "unigram_logprob",
+        lambda: force(unigram_logprob(docs), "avg_logprob"),
+    )
+
     # curation: PII (zero-shuffle projections), n-gram decontamination
     # (broadcast semi-join of benchmark span hashes), sequence packing
     # (distributed prefix sum)
