@@ -2487,6 +2487,74 @@ FROM rs GROUP BY media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer (pipeline/bpe.py): distributed word counting (exact oracle)
+# + train/encode roundtrip invariants (the merge loop itself is a driver-side
+# pure function of the word counts — not SQL-expressible, so the validity row
+# pins roundtrip identity and token-count bounds over every document).
+# ---------------------------------------------------------------------------
+BPE_MIN_COUNT = 2
+BPE_N_MERGES = 40
+
+
+def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _documents
+    from .pipeline.bpe import word_counts
+
+    return word_counts(_documents(spark, sf_dir), min_count=BPE_MIN_COUNT)
+
+
+def sql_bpe_word_counts() -> str:
+    return f"""
+WITH toks AS (SELECT u.word
+              FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents), UNNEST(t) AS u(word))
+SELECT word, COUNT(*) AS count FROM toks
+GROUP BY word HAVING COUNT(*) >= {BPE_MIN_COUNT}
+"""
+
+
+def q_bpe_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {BPE_N_MERGES} merges on the corpus, encode every doc with
+    token output, then assert (a) decode(encode(x)) == whitespace-
+    normalized x for EVERY doc, (b) token counts respect the
+    n_words <= n_bpe <= n_chars + n_words envelope."""
+    from .driver_contract import _documents
+    from .pipeline.bpe import END_OF_WORD, bpe_encode, bpe_train
+
+    docs = _documents(spark, sf_dir)
+    merges = bpe_train(docs, BPE_N_MERGES, min_count=BPE_MIN_COUNT)
+    enc = bpe_encode(docs, merges, with_tokens=True)
+    joined = enc.join(docs.select("doc_id", "text"), "doc_id")
+    norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    decoded = F.trim(
+        F.regexp_replace(F.array_join("tokens", ""), END_OF_WORD, " ")
+    )
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((decoded != norm).cast("long")).alias("roundtrip_fails"),
+        F.sum(
+            (
+                (F.col("n_bpe_tokens") < n_words)
+                | (F.col("n_bpe_tokens") > F.length(norm) + n_words)
+            ).cast("long")
+        ).alias("bound_violations"),
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+    )
+    return agg
+
+
+def sql_bpe_validity() -> str:
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS roundtrip_fails,
+       CAST(0 AS BIGINT) AS bound_violations,
+       CAST({BPE_N_MERGES} AS BIGINT) AS n_merges
+FROM documents
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -2559,6 +2627,9 @@ def ext_queries() -> dict:
         # multimodal binary columns (exact integer-replay oracles)
         "multimodal_audio": q_multimodal_audio,
         "multimodal_image": q_multimodal_image,
+        # BPE tokenizer (distributed counts exact; train/encode validity)
+        "bpe_word_counts": q_bpe_word_counts,
+        "bpe_validity": q_bpe_validity,
     }
 
 
@@ -2620,4 +2691,6 @@ def ext_oracle_sql() -> dict:
         "unigram_logprob": sql_unigram_logprob(),
         "multimodal_audio": sql_multimodal_audio(),
         "multimodal_image": sql_multimodal_image(),
+        "bpe_word_counts": sql_bpe_word_counts(),
+        "bpe_validity": sql_bpe_validity(),
     }
