@@ -192,6 +192,17 @@ def main() -> None:
         lambda: force(unigram_logprob(docs), "avg_logprob"),
     )
 
+    from graph_data_science_spark.pipeline.bpe import bpe_encode, bpe_train
+
+    t0 = time.monotonic()
+    merges = bpe_train(docs, 200, min_count=2)
+    timings["bpe_train_200"] = round(time.monotonic() - t0, 3)
+    extras["bpe_train_200_rows"] = len(merges)
+    timed(
+        "bpe_encode",
+        lambda: force(bpe_encode(docs, merges), "n_bpe_tokens"),
+    )
+
     # curation: PII (zero-shuffle projections), n-gram decontamination
     # (broadcast semi-join of benchmark span hashes), sequence packing
     # (distributed prefix sum)
