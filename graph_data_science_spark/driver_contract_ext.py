@@ -2555,6 +2555,35 @@ FROM documents
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _documents
+    from .pipeline.text import corpus_stats
+
+    return corpus_stats(_documents(spark, sf_dir))
+
+
+def sql_corpus_stats() -> str:
+    return """
+WITH per_doc AS (SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+        length(text) AS chars FROM documents),
+toks AS (SELECT u.term
+         FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+               FROM documents), UNNEST(t) AS u(term)),
+voc AS (SELECT COUNT(DISTINCT term) AS v, COUNT(*) AS total FROM toks)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       CAST(voc.v AS BIGINT) AS vocab_size,
+       ROUND(voc.v::DOUBLE / voc.total, 6) AS type_token_ratio,
+       ROUND(quantile_cont(n, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(n, 0.9), 6) AS p90_tokens,
+       ROUND(quantile_cont(n, 0.99), 6) AS p99_tokens,
+       CAST(MAX(n) AS BIGINT) AS max_tokens
+FROM per_doc, voc GROUP BY voc.v, voc.total
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -2630,6 +2659,7 @@ def ext_queries() -> dict:
         # BPE tokenizer (distributed counts exact; train/encode validity)
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_validity": q_bpe_validity,
+        "corpus_stats": q_corpus_stats,
     }
 
 
@@ -2693,4 +2723,5 @@ def ext_oracle_sql() -> dict:
         "multimodal_image": sql_multimodal_image(),
         "bpe_word_counts": sql_bpe_word_counts(),
         "bpe_validity": sql_bpe_validity(),
+        "corpus_stats": sql_corpus_stats(),
     }

@@ -1026,3 +1026,53 @@ def unigram_logprob(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
             F.sum("__tf").cast("long").alias("n_tokens"),
         )
     )
+
+
+def corpus_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """One-row corpus profile: doc/token/char totals, vocabulary size,
+    type-token ratio, and exact token-length quantiles (p50/p90/p99/max)
+    — the numbers a data-mixture plan starts from.
+
+    Scale: two aggregation passes (per-doc token counts; global distinct
+    terms via groupBy — map-side combined), then one exact percentile
+    over the n_docs-sized count column. No per-token state crosses a
+    shuffle except the vocab keys."""
+    toks = tokens_col(text_col)
+    per_doc = docs.select(
+        F.size(toks).alias("__n"),
+        F.length(F.col(text_col)).alias("__chars"),
+    )
+    vocab_n = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("__v"),
+            F.sum("c").alias("__total"),
+        )
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("total_tokens"),
+        F.sum("__chars").cast("long").alias("total_chars"),
+        F.percentile("__n", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("__n", F.lit(0.9)).alias("p90_tokens"),
+        F.percentile("__n", F.lit(0.99)).alias("p99_tokens"),
+        F.max("__n").cast("long").alias("max_tokens"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(vocab_n))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            F.col("__v").cast("long").alias("vocab_size"),
+            F.round(F.col("__v") / F.col("__total"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round("p50_tokens", 6).alias("p50_tokens"),
+            F.round("p90_tokens", 6).alias("p90_tokens"),
+            F.round("p99_tokens", 6).alias("p99_tokens"),
+            "max_tokens",
+        )
+    )

@@ -135,3 +135,21 @@ def test_ppm_gradient_resize_stats_exact(spark):
         assert r.pixel_sum == int(resized.astype(np.int64).sum())
         assert r.pixel_min == int(resized.min())
         assert r.pixel_max == int(resized.max())
+
+
+def test_corpus_stats_exact(spark):
+    from graph_data_science_spark.pipeline.text import corpus_stats
+
+    docs = _docs(
+        spark,
+        [(0, "a b c"), (1, "a a"), (2, "a b c d e")],
+    )
+    r = corpus_stats(docs).collect()[0]
+    assert r.n_docs == 3
+    assert r.total_tokens == 10
+    assert r.vocab_size == 5
+    assert abs(r.type_token_ratio - 0.5) < 1e-9
+    assert r.p50_tokens == 3.0   # counts [2,3,5] -> median 3
+    assert r.max_tokens == 5
+    # type-7 interpolation: p90 of [2,3,5] = 3 + 0.8*(5-3) = 4.6
+    assert abs(r.p90_tokens - 4.6) < 1e-6
