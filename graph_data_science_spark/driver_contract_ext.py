@@ -2584,6 +2584,72 @@ FROM per_doc, voc GROUP BY voc.v, voc.total
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-mixture planning/sampling (pipeline/sampling.py): per-group Bernoulli
+# rates realizing a target token mixture under a budget. Weights normalize
+# driver-side and inline as plan/SQL literals (exact repr round-trip), so
+# both engines compute identical rates; the keep decision replays the same
+# md5-60bit hash gate as the other sampling oracles.
+# ---------------------------------------------------------------------------
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET = 5000
+
+
+def _mix_norm() -> dict[str, float]:
+    t = sum(MIX_WEIGHTS.values())
+    return {g: w / t for g, w in MIX_WEIGHTS.items()}
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.sampling import mixture_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_plan(docs, "source", MIX_WEIGHTS, MIX_BUDGET)
+
+
+def _sql_mix_rates() -> str:
+    vals = ", ".join(
+        f"('{g}', CAST({w!r} AS DOUBLE))"
+        for g, w in sorted(_mix_norm().items())
+    )
+    return f"""
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+             AS BIGINT) AS group_tokens
+        FROM documents GROUP BY 1),
+wt(source, w) AS (VALUES {vals}),
+rates AS (SELECT per.source, n_docs, group_tokens,
+          ROUND(w, 9) AS target_weight,
+          ROUND(LEAST(1.0, {MIX_BUDGET}.0 * w / group_tokens), 9) AS rate,
+          ROUND(ROUND(LEAST(1.0, {MIX_BUDGET}.0 * w / group_tokens), 9)
+                * group_tokens, 6) AS expected_tokens,
+          ROUND(GREATEST(0.0, {MIX_BUDGET}.0 * w - group_tokens), 6)
+            AS deficit_tokens
+          FROM per JOIN wt USING (source))
+"""
+
+
+def sql_mixture_plan() -> str:
+    return f"WITH {_sql_mix_rates()} SELECT * FROM rates"
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs, "source", MIX_WEIGHTS, MIX_BUDGET, seed=SAMPLE_SEED
+    ).select("doc_id", "source")
+
+
+def sql_mixture_sample() -> str:
+    return f"""
+WITH {_sql_mix_rates()}
+SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
+WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -2660,6 +2726,8 @@ def ext_queries() -> dict:
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_validity": q_bpe_validity,
         "corpus_stats": q_corpus_stats,
+        "mixture_plan": q_mixture_plan,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -2724,4 +2792,6 @@ def ext_oracle_sql() -> dict:
         "bpe_word_counts": sql_bpe_word_counts(),
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),
+        "mixture_plan": sql_mixture_plan(),
+        "mixture_sample": sql_mixture_sample(),
     }

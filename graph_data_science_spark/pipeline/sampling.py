@@ -177,3 +177,97 @@ def group_topk_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_docs, group_tokens, target_weight, rate,
+    expected_tokens, deficit_tokens): per-group Bernoulli keep rates
+    that realize a target token MIXTURE under a total token budget —
+    the "data mixing" step of a training-corpus build (e.g. 60% web /
+    30% code / 10% books).
+
+    ``rate_g = min(1, budget * w_g / tokens_g)`` with the weights
+    normalized driver-side (plan literals — no float-sum-order
+    ambiguity between engines); a group too small to fill its slice
+    saturates at rate 1.0 and reports the shortfall in
+    ``deficit_tokens`` (the repeat-epochs / re-weight signal). Groups
+    absent from ``weights`` are dropped (rate 0).
+
+    Plan: one |groups|-row aggregate over (group, token-count)
+    projections — nothing else moves."""
+    from .text import tokens_col
+
+    total_w = float(sum(weights.values()))
+    norm = {g: float(w) / total_w for g, w in weights.items()}
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(norm.items()) for x in kv]
+    )
+    per_group = (
+        docs.select(
+            F.col(group_col),
+            F.size(tokens_col(text_col)).alias("__n"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("group_tokens"),
+        )
+        .withColumn("target_weight", wmap[F.col(group_col)])
+        .filter(F.col("target_weight").isNotNull())
+    )
+    slice_tokens = F.lit(float(token_budget)) * F.col("target_weight")
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            slice_tokens / F.col("group_tokens").cast("double"),
+        ),
+        9,
+    )
+    return per_group.select(
+        group_col,
+        "n_docs",
+        "group_tokens",
+        F.round("target_weight", 9).alias("target_weight"),
+        rate.alias("rate"),
+        F.round(rate * F.col("group_tokens"), 6).alias("expected_tokens"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                slice_tokens - F.col("group_tokens").cast("double"),
+            ),
+            6,
+        ).alias("deficit_tokens"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    *,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 42,
+    base_hash: str = "md5",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`mixture_plan`'s rates as a hash-gated Bernoulli
+    filter: broadcast the |groups|-row rate table, no wide shuffle —
+    same reproducibility / nesting / append-stability guarantees as
+    :func:`hash_sample`."""
+    rates = mixture_plan(
+        docs, group_col, weights, token_budget, text_col=text_col
+    ).select(group_col, "rate")
+    h = sample_hash(seed, *key_cols, base_hash=base_hash)
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .where(h < F.floor(F.col("rate") * F.lit(float(HASH_SPACE))))
+        .drop("rate")
+    )

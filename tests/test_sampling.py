@@ -139,3 +139,52 @@ def test_hash_sample_xxhash64_rate(docs):
     negative value pass)."""
     n = hash_sample(docs, 0.25, seed=3, base_hash="xxhash64").count()
     assert 380 <= n <= 620
+
+
+def test_mixture_plan_rates_and_deficit(spark):
+    from graph_data_science_spark.pipeline.sampling import (
+        mixture_plan,
+        mixture_sample,
+    )
+
+    rows = []
+    did = 0
+    for g, n, toks in [("web", 100, 20), ("code", 10, 20), ("books", 5, 4)]:
+        for _ in range(n):
+            rows.append((did, g, " ".join(["w"] * toks)))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, grp string, text string"
+    )
+    # budget 1000 tokens at 50/30/20: web slice 500/2000 -> 0.25,
+    # code slice 300/200 -> saturates at 1.0 (deficit 100),
+    # books slice 200/20 -> saturates (deficit 180)
+    plan = {
+        r.grp: r
+        for r in mixture_plan(
+            docs, "grp", {"web": 0.5, "code": 0.3, "books": 0.2}, 1000
+        ).collect()
+    }
+    assert plan["web"].rate == 0.25
+    assert plan["code"].rate == 1.0 and plan["code"].deficit_tokens == 100.0
+    assert plan["books"].rate == 1.0 and plan["books"].deficit_tokens == 180.0
+    assert plan["web"].expected_tokens == 500.0
+    # absent group -> dropped
+    assert "other" not in plan
+
+    kept = mixture_sample(
+        docs, "grp", {"web": 0.5, "code": 0.3, "books": 0.2}, 1000, seed=3
+    )
+    by_g = {r.grp: r["count"] for r in kept.groupBy("grp").count().collect()}
+    assert by_g["code"] == 10 and by_g["books"] == 5  # rate-1 groups intact
+    assert 0 < by_g.get("web", 0) < 100  # thinned
+    # reproducible
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            docs, "grp", {"web": 0.5, "code": 0.3, "books": 0.2}, 1000,
+            seed=3,
+        ).collect()
+    )
+    assert a == b
