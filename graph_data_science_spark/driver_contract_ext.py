@@ -2650,6 +2650,90 @@ WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (pipeline/sampling.py): hashed unigram+bigram
+# bag models (target = the src0 slice, raw = the whole corpus) -> per-doc
+# log-likelihood-ratio weights -> Gumbel-top-k sample. Buckets, counts and
+# the hash-Gumbel noise all replay exactly in DuckDB (portable md5-60bit
+# hash, Laplace smoothing on integer counts, one ROUND(...,6) per output).
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 1024
+DSIR_SEED = 13
+DSIR_K = 60
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.sampling import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        n_buckets=DSIR_BUCKETS,
+        seed=DSIR_SEED,
+    )
+
+
+def _sql_dsir_weights_cte() -> str:
+    b = DSIR_BUCKETS
+    return rf"""
+tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+feat AS (SELECT doc_id, u.f FROM (
+          SELECT doc_id, list_concat(t, list_transform(range(1, len(t)),
+                 i -> t[i] || chr(31) || t[i+1])) AS fs FROM tok),
+         UNNEST(fs) AS u(f)),
+bf AS (SELECT doc_id,
+        ('0x' || substr(md5('{DSIR_SEED}' || chr(31) || f), 1, 15))::BIGINT
+          % {b} AS bucket
+       FROM feat),
+tf_raw AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM bf GROUP BY 1, 2),
+cnt_raw AS (SELECT bucket, SUM(tf) AS rc FROM tf_raw GROUP BY 1),
+cnt_tgt AS (SELECT bucket, COUNT(*) AS tc
+            FROM bf JOIN documents USING (doc_id)
+            WHERE source = 'src0' GROUP BY 1),
+tot AS (SELECT (SELECT SUM(rc) FROM cnt_raw) AS rt,
+               (SELECT SUM(tc) FROM cnt_tgt) AS tt),
+wts AS (SELECT doc_id,
+        ROUND(SUM(tf * (LN((COALESCE(tc, 0) + 1.0) / (tt + {b}.0))
+                      - LN((rc + 1.0) / (rt + {b}.0)))), 6) AS logratio,
+        CAST(SUM(tf) AS BIGINT) AS n_features
+        FROM tf_raw LEFT JOIN cnt_tgt USING (bucket)
+             JOIN cnt_raw USING (bucket), tot
+        GROUP BY doc_id)
+"""
+
+
+def sql_dsir_weights() -> str:
+    return f"WITH {_sql_dsir_weights_cte()} SELECT * FROM wts"
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.sampling import dsir_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_sample(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        DSIR_K,
+        n_buckets=DSIR_BUCKETS,
+        seed=DSIR_SEED,
+    )
+
+
+def sql_dsir_sample() -> str:
+    from .pipeline.sampling import HASH_SPACE
+
+    return f"""
+WITH {_sql_dsir_weights_cte()}
+SELECT doc_id, ROUND(logratio +
+  (-LN(-LN((('0x' || substr(md5('{DSIR_SEED + 1}' || chr(31) ||
+      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE + 0.5)
+      / {float(HASH_SPACE)!r}))), 6) AS sample_key
+FROM wts ORDER BY sample_key DESC, doc_id LIMIT {DSIR_K}
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -2728,6 +2812,8 @@ def ext_queries() -> dict:
         "corpus_stats": q_corpus_stats,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -2794,4 +2880,6 @@ def ext_oracle_sql() -> dict:
         "corpus_stats": sql_corpus_stats(),
         "mixture_plan": sql_mixture_plan(),
         "mixture_sample": sql_mixture_sample(),
+        "dsir_weights": sql_dsir_weights(),
+        "dsir_sample": sql_dsir_sample(),
     }

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import _base_hash
+from .text import _base_hash, tokens_col
 
 # the md5-derived portable hash is uniform on [0, 16^15) = [0, 2^60)
 HASH_SPACE = 1 << 60
@@ -202,7 +202,6 @@ def mixture_plan(
 
     Plan: one |groups|-row aggregate over (group, token-count)
     projections — nothing else moves."""
-    from .text import tokens_col
 
     total_w = float(sum(weights.values()))
     norm = {g: float(w) / total_w for g, w in weights.items()}
@@ -271,3 +270,119 @@ def mixture_sample(
         .where(h < F.floor(F.col("rate") * F.lit(float(HASH_SPACE))))
         .drop("rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection via importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"): score
+# raw docs by the log-likelihood ratio of hashed n-gram bag models fit on
+# a target corpus vs the raw corpus, then Gumbel-top-k sample with
+# probability proportional to the importance weight.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_features(
+    docs: DataFrame, text_col: str, n_buckets: int, seed: int
+) -> DataFrame:
+    """(doc_id, bucket, tf): hashed unigram+bigram bag per document.
+
+    Features hash through the portable md5-60bit path so an external
+    oracle can replay every bucket assignment. One scan + explode, then
+    a (doc, bucket) groupBy with map-side combine — per-token rows never
+    cross a shuffle un-aggregated."""
+    toks = tokens_col(text_col).alias("__t")
+    base = docs.select("doc_id", toks)
+    feats = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("__t"),
+                F.expr(
+                    "transform(slice(__t, 1, size(__t) - 1),"
+                    " (x, i) -> concat(x, chr(31), element_at(__t, i + 2)))"
+                ),
+            )
+        ).alias("__f"),
+    )
+    bucket = F.pmod(
+        sample_hash(seed, F.col("__f")), F.lit(int(n_buckets))
+    ).alias("bucket")
+    return feats.select("doc_id", bucket).groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 4096,
+    seed: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, logratio, n_features): per-raw-doc importance weight
+    ``sum_f ln p_target(f) - ln p_raw(f)`` under Laplace-smoothed hashed
+    n-gram (unigram+bigram) bag models — docs that look like the target
+    corpus score high, generic raw docs score ~0 or below.
+
+    Scale: both models are |buckets|-row aggregates (broadcast into the
+    scoring join); scoring runs at (doc, bucket) granularity, so the
+    only full-corpus shuffles are the two map-side-combined groupBys.
+    The target corpus is typically tiny (an eval/quality seed set)."""
+    tf_raw = _dsir_features(raw, text_col, n_buckets, seed).cache()
+    tf_tgt = _dsir_features(target, text_col, n_buckets, seed)
+    b = float(n_buckets)
+    cnt_tgt = tf_tgt.groupBy("bucket").agg(F.sum("tf").alias("__tc"))
+    cnt_raw = tf_raw.groupBy("bucket").agg(F.sum("tf").alias("__rc"))
+    tot_tgt = cnt_tgt.agg(F.sum("__tc").alias("__tt"))
+    tot_raw = cnt_raw.agg(F.sum("__rc").alias("__rt"))
+    term = (
+        F.log((F.coalesce(F.col("__tc"), F.lit(0)) + 1.0) / (F.col("__tt") + b))
+        - F.log((F.col("__rc") + 1.0) / (F.col("__rt") + b))
+    )
+    return (
+        tf_raw.join(F.broadcast(cnt_tgt), "bucket", "left")
+        .join(F.broadcast(cnt_raw), "bucket")
+        .crossJoin(F.broadcast(tot_tgt))
+        .crossJoin(F.broadcast(tot_raw))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * term), 6).alias("logratio"),
+            F.sum("tf").cast("long").alias("n_features"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    n_buckets: int = 4096,
+    seed: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sample_key): Gumbel-top-k resampling — keep the k raw
+    docs maximizing ``logratio + Gumbel(hash(doc_id))``, i.e. a
+    without-replacement sample with probability proportional to the
+    importance weight. The Gumbel noise derives from the portable doc
+    hash, so the sample is reproducible and oracle-replayable; ties on
+    the rounded key break by doc_id.
+
+    Scale: orderBy(...).limit(k) plans as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge, never a global sort."""
+    u = (
+        sample_hash(seed + 1, F.col("doc_id")).cast("double") + 0.5
+    ) / float(HASH_SPACE)
+    gumbel = -F.log(-F.log(u))
+    # key = rounded weight + hash-gumbel, rounded again — both engines
+    # replay the identical double rounding, so ordering is exact
+    w = dsir_weights(
+        raw, target, n_buckets=n_buckets, seed=seed, text_col=text_col
+    ).withColumnRenamed("logratio", "__lr")
+    keyed = w.select(
+        "doc_id", F.round(F.col("__lr") + gumbel, 6).alias("sample_key")
+    )
+    return keyed.orderBy(
+        F.col("sample_key").desc(), F.col("doc_id")
+    ).limit(int(k))

@@ -188,3 +188,39 @@ def test_mixture_plan_rates_and_deficit(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_dsir_weights_and_sample(spark):
+    from graph_data_science_spark.pipeline.sampling import (
+        dsir_sample,
+        dsir_weights,
+    )
+
+    sports = ["goal", "match", "team", "score", "league", "win"]
+    code = ["def", "class", "return", "import", "lambda", "yield"]
+    rows = []
+    for i in range(40):
+        ws = sports if i % 2 == 0 else code
+        rows.append((i, " ".join(ws[(i + j) % 6] for j in range(12))))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = raw.filter("doc_id % 2 = 0 and doc_id < 10")
+
+    w = {r.doc_id: r for r in dsir_weights(raw, tgt, n_buckets=512).collect()}
+    assert len(w) == 40
+    assert all(r.n_features == 23 for r in w.values())  # 12 uni + 11 bi
+    import statistics
+
+    mean_sports = statistics.mean(w[i].logratio for i in range(0, 40, 2))
+    mean_code = statistics.mean(w[i].logratio for i in range(1, 40, 2))
+    # target-like docs score far above off-distribution docs
+    assert mean_sports > mean_code + 10
+
+    got = dsir_sample(raw, tgt, 10, n_buckets=512).collect()
+    assert len(got) == 10
+    # importance resampling overwhelmingly selects target-like docs
+    assert sum(1 for r in got if r.doc_id % 2 == 0) >= 9
+    # deterministic replay
+    again = dsir_sample(raw, tgt, 10, n_buckets=512).collect()
+    assert sorted((r.doc_id, r.sample_key) for r in got) == sorted(
+        (r.doc_id, r.sample_key) for r in again
+    )
