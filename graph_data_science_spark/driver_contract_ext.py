@@ -2194,6 +2194,58 @@ def sql_pii_scan() -> str:
            f"SELECT doc_id, {counts} FROM planted"
 
 
+# Luhn precision mode: plant an extra INVALID card (fails the mod-10
+# checksum) on doc_id % 6 == 0, so the raw count and the Luhn-checked
+# count genuinely diverge and the oracle pins the checksum arithmetic.
+_PII_BAD_CARD = " 4111 1111 1111 1112"
+
+
+def q_pii_scan_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.curation import pii_scan
+
+    d = F.col("doc_id")
+    planted = _pii_planted(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 6 == 0, F.lit(_PII_BAD_CARD)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(planted, luhn_check=True)
+
+
+def _sql_luhn(s: str) -> str:
+    terms = []
+    for i in range(1, 17):
+        d = f"CAST(substr({s}, {i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(f"CASE WHEN {d}*2 > 9 THEN {d}*2 - 9 ELSE {d}*2 END")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ") % 10 = 0"
+
+
+def sql_pii_scan_luhn() -> str:
+    from .pipeline.curation import PII_PATTERNS
+
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_extract_all(text, '{pat}')"
+        if name == "credit_card":
+            expr = (
+                f"list_filter(list_transform({expr}, "
+                "m -> regexp_replace(m, '[^0-9]', '', 'g')), "
+                f"s -> {_sql_luhn('s')})"
+            )
+        counts.append(f"CAST(len({expr}) AS BIGINT) AS n_{name}")
+    return (
+        f"WITH base AS ({_SQL_PII_PLANTED}), "
+        "planted AS (SELECT doc_id, text || CASE WHEN doc_id % 6 = 0 "
+        f"THEN '{_PII_BAD_CARD}' ELSE '' END AS text FROM base) "
+        f"SELECT doc_id, {', '.join(counts)} FROM planted"
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered redaction chain — full rewritten text is value-hashed, so
     the oracle pins both the patterns and the application order."""
@@ -2650,6 +2702,49 @@ WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
 """
 
 
+def q_corpus_stats_approx_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact invariants for the 100-TB profiling path: totals
+    (one-pass sums) are exactly equal, the HLL++ vocabulary estimate is
+    within 3 standard deviations of the exact count, and the GK quantile
+    sketch returns actual order statistics (monotone, inside [min, max],
+    max exact)."""
+    from .driver_contract import _documents
+    from .pipeline.text import corpus_stats, corpus_stats_approx
+
+    docs = _documents(spark, sf_dir)
+    rsd = 0.05
+    exact = corpus_stats(docs).collect()[0]
+    approx = corpus_stats_approx(docs, rsd=rsd).collect()[0]
+    totals_ok = (
+        approx.n_docs == exact.n_docs
+        and approx.total_tokens == exact.total_tokens
+        and approx.total_chars == exact.total_chars
+    )
+    vocab_ok = abs(approx.vocab_approx - exact.vocab_size) <= max(
+        3.0 * rsd * exact.vocab_size, 1.0
+    )
+    monotone = (
+        approx.min_tokens
+        <= approx.p50_tokens
+        <= approx.p90_tokens
+        <= approx.p99_tokens
+        <= approx.max_tokens
+    )
+    max_ok = approx.max_tokens == exact.max_tokens
+    return spark.createDataFrame(
+        [(bool(totals_ok), bool(vocab_ok), bool(monotone), bool(max_ok))],
+        "totals_exact boolean, vocab_within_3sd boolean, "
+        "quantiles_monotone boolean, max_exact boolean",
+    )
+
+
+def sql_corpus_stats_approx_validity() -> str:
+    return """
+SELECT TRUE AS totals_exact, TRUE AS vocab_within_3sd,
+       TRUE AS quantiles_monotone, TRUE AS max_exact
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance resampling (pipeline/sampling.py): hashed unigram+bigram
 # bag models (target = the src0 slice, raw = the whole corpus) -> per-doc
@@ -2795,6 +2890,7 @@ def ext_queries() -> dict:
         "group_topk_sample": q_group_topk_sample,
         # corpus curation (PII, decontamination, packing)
         "pii_scan": q_pii_scan,
+        "pii_scan_luhn": q_pii_scan_luhn,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -2810,6 +2906,7 @@ def ext_queries() -> dict:
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_validity": q_bpe_validity,
         "corpus_stats": q_corpus_stats,
+        "corpus_stats_approx_validity": q_corpus_stats_approx_validity,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "dsir_weights": q_dsir_weights,
@@ -2866,6 +2963,7 @@ def ext_oracle_sql() -> dict:
         "temperature_sample": sql_temperature_sample(),
         "group_topk_sample": sql_group_topk_sample(),
         "pii_scan": sql_pii_scan(),
+        "pii_scan_luhn": sql_pii_scan_luhn(),
         "pii_redact": sql_pii_redact(),
         "decontaminate": sql_decontaminate(),
         "pack_sequences": sql_pack_sequences(),
@@ -2878,6 +2976,7 @@ def ext_oracle_sql() -> dict:
         "bpe_word_counts": sql_bpe_word_counts(),
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),
+        "corpus_stats_approx_validity": sql_corpus_stats_approx_validity(),
         "mixture_plan": sql_mixture_plan(),
         "mixture_sample": sql_mixture_sample(),
         "dsir_weights": sql_dsir_weights(),

@@ -1076,3 +1076,61 @@ def corpus_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
             "max_tokens",
         )
     )
+
+
+def corpus_stats_approx(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    rsd: float = 0.05,
+    quantile_accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based :func:`corpus_stats` — the 100-TB profiling path.
+
+    Vocabulary size comes from HyperLogLog++ (``approx_count_distinct``,
+    relative standard deviation ``rsd``) and token-length quantiles from
+    the Greenwald-Khanna sketch (``percentile_approx``), so NO term and
+    no per-doc count ever crosses a shuffle un-sketched: each task emits
+    a constant-size partial sketch and one merge produces the row. The
+    exact version's vocabulary groupBy shuffles every distinct term —
+    ~10^9 keys on a web corpus; this one shuffles a few KB per task.
+    Totals (docs/tokens/chars) stay exact — sums are already one-pass.
+    """
+    toks = tokens_col(text_col)
+    per_doc = docs.select(
+        F.size(toks).alias("__n"),
+        F.length(F.col(text_col)).alias("__chars"),
+    )
+    acc = F.lit(int(quantile_accuracy))
+    agg = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("total_tokens"),
+        F.sum("__chars").cast("long").alias("total_chars"),
+        F.percentile_approx("__n", F.lit(0.5), acc)
+        .cast("long")
+        .alias("p50_tokens"),
+        F.percentile_approx("__n", F.lit(0.9), acc)
+        .cast("long")
+        .alias("p90_tokens"),
+        F.percentile_approx("__n", F.lit(0.99), acc)
+        .cast("long")
+        .alias("p99_tokens"),
+        F.min("__n").cast("long").alias("min_tokens"),
+        F.max("__n").cast("long").alias("max_tokens"),
+    )
+    hll = docs.select(F.explode(toks).alias("term")).agg(
+        F.approx_count_distinct("term", float(rsd))
+        .cast("long")
+        .alias("vocab_approx")
+    )
+    return agg.crossJoin(F.broadcast(hll)).select(
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "vocab_approx",
+        "p50_tokens",
+        "p90_tokens",
+        "p99_tokens",
+        "min_tokens",
+        "max_tokens",
+    )

@@ -199,3 +199,36 @@ def test_packing_stats(pack_docs):
     assert row.total_tokens == total
     assert row.n_sequences == -(-total // seq_len)
     assert row.fill_frac == round(total / (row.n_sequences * seq_len), 6)
+
+
+def test_pii_scan_luhn(spark):
+    from graph_data_science_spark.pipeline.curation import luhn_valid, pii_scan
+
+    df = spark.createDataFrame(
+        [
+            # valid Visa test number + the same with last digit bumped
+            (1, "pay 4111 1111 1111 1111 or 4111 1111 1111 1112 ok"),
+            (2, "no cards 1234"),
+            (3, "5500-0000-0000-0004 works"),  # valid MC test number
+        ],
+        "doc_id long, text string",
+    )
+    raw = {r.doc_id: r.n_credit_card for r in pii_scan(df).collect()}
+    luhn = {
+        r.doc_id: r.n_credit_card
+        for r in pii_scan(df, luhn_check=True).collect()
+    }
+    assert raw == {1: 2, 2: 0, 3: 1}
+    assert luhn == {1: 1, 2: 0, 3: 1}
+    # the other classes are unaffected by the flag
+    full = pii_scan(df, luhn_check=True).collect()[0]
+    assert full.n_email == 0 and full.n_ssn == 0
+
+    from pyspark.sql import functions as F
+
+    vals = df.select(
+        F.expr("doc_id"),
+        luhn_valid(F.lit("4111 1111 1111 1111")).alias("good"),
+        luhn_valid(F.lit("4111-1111-1111-1112")).alias("bad"),
+    ).collect()[0]
+    assert vals.good is True and vals.bad is False

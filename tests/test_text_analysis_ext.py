@@ -153,3 +153,36 @@ def test_corpus_stats_exact(spark):
     assert r.max_tokens == 5
     # type-7 interpolation: p90 of [2,3,5] = 3 + 0.8*(5-3) = 4.6
     assert abs(r.p90_tokens - 4.6) < 1e-6
+
+
+def test_corpus_stats_approx(spark):
+    from graph_data_science_spark.pipeline.text import (
+        corpus_stats,
+        corpus_stats_approx,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(50)],
+    )
+    exact = corpus_stats(docs).collect()[0]
+    approx = corpus_stats_approx(docs).collect()[0]
+    # totals are exact (one-pass sums)
+    assert approx.n_docs == exact.n_docs == 50
+    assert approx.total_tokens == exact.total_tokens
+    assert approx.total_chars == exact.total_chars
+    # HLL++ estimate within 3 sd of the true 50-term vocabulary
+    assert abs(approx.vocab_approx - exact.vocab_size) <= max(
+        3 * 0.05 * exact.vocab_size, 1
+    )
+    # GK sketch returns order statistics: monotone, in range, max exact
+    assert (
+        approx.min_tokens
+        <= approx.p50_tokens
+        <= approx.p90_tokens
+        <= approx.p99_tokens
+        <= approx.max_tokens
+    )
+    assert approx.min_tokens == 1 and approx.max_tokens == 50
+    # with n << accuracy the sketch is exact: median of 1..50
+    assert approx.p50_tokens in (25, 26)
