@@ -2702,6 +2702,68 @@ WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (pipeline/ann.py): per-vector scales, floor(x+.5)
+# rounding, and integer dot products are all engine-exact, so BOTH the
+# quantized vectors and the quantized cosine ranking carry exact oracles.
+# ---------------------------------------------------------------------------
+QUANT_TOPK = 3
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _embeddings
+    from .pipeline.ann import quantize_embeddings
+
+    return quantize_embeddings(_embeddings(spark, sf_dir))
+
+
+_SQL_QUANT_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v,
+        CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') = 0
+             THEN 1.0
+             ELSE list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                  / 127.0 END AS scale
+       FROM e),
+qq AS (SELECT vec_id, scale,
+        list_transform(v, x -> CAST(GREATEST(-127, LEAST(127,
+          FLOOR(x / scale + 0.5))) AS INT)) AS qvec
+       FROM sc)
+"""
+
+
+def sql_embedding_quantize() -> str:
+    return f"WITH {_SQL_QUANT_CTE} SELECT vec_id, scale, qvec FROM qq"
+
+
+def q_embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _embeddings
+    from .pipeline.ann import cosine_topk_quantized
+
+    out = cosine_topk_quantized(_embeddings(spark, sf_dir), k=QUANT_TOPK)
+    return out.select(
+        "vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def sql_embedding_topk_quantized() -> str:
+    return f"""
+WITH {_SQL_QUANT_CTE},
+nq AS (SELECT vec_id, qvec::DOUBLE[] AS q,
+        sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) AS n
+       FROM qq),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.q, b.q) / (a.n * b.n) AS cosine
+  FROM nq a JOIN nq b ON a.vec_id != b.vec_id
+  WHERE a.n > 0 AND b.n > 0)
+SELECT vec_id, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored) WHERE rn <= {QUANT_TOPK}
+"""
+
+
 def q_corpus_stats_approx_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-vs-exact invariants for the 100-TB profiling path: totals
     (one-pass sums) are exactly equal, the HLL++ vocabulary estimate is
@@ -2907,6 +2969,8 @@ def ext_queries() -> dict:
         "bpe_validity": q_bpe_validity,
         "corpus_stats": q_corpus_stats,
         "corpus_stats_approx_validity": q_corpus_stats_approx_validity,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_topk_quantized": q_embedding_topk_quantized,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "dsir_weights": q_dsir_weights,
@@ -2977,6 +3041,8 @@ def ext_oracle_sql() -> dict:
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),
         "corpus_stats_approx_validity": sql_corpus_stats_approx_validity(),
+        "embedding_quantize": sql_embedding_quantize(),
+        "embedding_topk_quantized": sql_embedding_topk_quantized(),
         "mixture_plan": sql_mixture_plan(),
         "mixture_sample": sql_mixture_sample(),
         "dsir_weights": sql_dsir_weights(),

@@ -868,3 +868,112 @@ def kmeans_fit(
             break
         cents = new
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization: the memory-side scale lever for ANN. float32
+# embeddings at 100 TB are often the single largest column; symmetric
+# int8 quantization cuts the vector bytes 4x while cosine ranking is
+# preserved almost exactly (per-vector scales cancel out of cosine).
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """(vec_id, scale, qvec): per-vector symmetric scalar quantization —
+    ``scale = max|v| / qmax`` and ``q_i = clamp(floor(v_i/scale + 0.5))``
+    with ``qmax = 2^(bits-1) - 1`` (127 for int8).
+
+    ``floor(x + 0.5)`` is used instead of ``round`` deliberately: its
+    tie behavior is identical in every engine (Spark, DuckDB, numpy),
+    so the quantized vectors are bit-reproducible and an external
+    oracle can replay them exactly. Zero vectors get scale 1.0.
+
+    Pure JVM projection — zero shuffle; the dequantized value is
+    ``q_i * scale``."""
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16], got {bits}")
+    qmax = float((1 << (bits - 1)) - 1)
+    max_abs = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / qmax)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        scale.alias("scale"),
+    )
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.greatest(
+            F.lit(int(-qmax)),
+            F.least(
+                F.lit(int(qmax)),
+                F.floor(x.cast("double") / F.col("scale") + 0.5),
+            ),
+        ).cast("int"),
+    )
+    return base.select("vec_id", "scale", q.alias("qvec"))
+
+
+def cosine_topk_quantized(
+    emb: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors — the
+    4x-less-memory variant of :func:`cosine_topk_bruteforce`. Per-vector
+    scales cancel out of cosine, so the score is exactly the cosine of
+    the integer vectors: all dot products are integer-exact in doubles
+    (|q| <= 127 ⇒ no float noise until the final divide), which is what
+    makes the whole ranking externally replayable."""
+    q = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col, bits=bits)
+    qd = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    a = q.select(
+        F.col("vec_id"),
+        F.col("qvec").alias("qa"),
+        F.sqrt(
+            F.aggregate(
+                F.col("qvec"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x,
+            )
+        ).alias("na"),
+    )
+    b = a.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qa").alias("qb"),
+        F.col("na").alias("nb"),
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (qd / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    win = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -200,3 +200,54 @@ def test_pair_mode_matmul_with_cap(clustered_emb):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.vec_id < r.dup_id for r in rows)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from graph_data_science_spark.pipeline.ann import quantize_embeddings
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(30)]
+    rows.append((30, [0.0] * DIM))  # zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert len(q) == 31
+    for vid, vec in rows:
+        r = q[vid]
+        assert all(-127 <= x <= 127 for x in r.qvec)
+        # dequantization error bounded by half a quantization step
+        for orig, qi in zip(vec, r.qvec):
+            assert abs(qi * r.scale - orig) <= r.scale / 2 + 1e-12
+    assert q[30].scale == 1.0 and all(x == 0 for x in q[30].qvec)
+
+
+def test_quantized_topk_matches_exact_ranking(spark, clustered_emb):
+    from graph_data_science_spark.pipeline.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+    )
+
+    # isotropic vectors: neighbor cosine gaps are far above the int8
+    # resolution, so the quantized ranking must match the float ranking
+    rng = np.random.Generator(np.random.PCG64(21))
+    iso = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(iso, k=3).collect()
+    }
+    quant = {
+        (r.vec_id, r.neighbor_id)
+        for r in cosine_topk_quantized(iso, k=3).collect()
+    }
+    assert len(quant) == len(exact)
+    assert len(exact & quant) / len(exact) >= 0.9
+
+    # tight clusters: within-cluster cosines differ by less than one
+    # quantization step (ranking there is legitimately tie-broken
+    # differently), but every quantized neighbor must still come from
+    # the caller's own planted cluster
+    q = cosine_topk_quantized(clustered_emb, k=5).collect()
+    assert all(r.vec_id // 20 == r.neighbor_id // 20 for r in q)
+    assert all(r.cosine > 0.99 for r in q)
