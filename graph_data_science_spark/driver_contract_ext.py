@@ -1723,6 +1723,31 @@ def sql_windowed_event_counts() -> str:
     )
 
 
+def q_hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window counts (2h window, 1h hop): every event lands in
+    exactly 2 overlapping windows."""
+    from .streaming.stream_ops import hopping_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_event_counts(
+        ev, window="2 hours", hop="1 hour", watermark=None
+    )
+
+
+def sql_hopping_event_counts() -> str:
+    # replay the window expansion: with width = 2 * hop, event t belongs
+    # to the windows starting at floor(t/h)*h and floor(t/h)*h - h
+    return """
+SELECT ws AS window_start, event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events,
+     UNNEST([CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 - 3600])
+       AS u(ws)
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native session_window) per user over the
     events table; 30-minute inactivity gap."""
@@ -2913,6 +2938,7 @@ def ext_queries() -> dict:
         "spanning_tree": q_spanning_tree,
         "random_walk": q_random_walk,
         "windowed_event_counts": q_windowed_event_counts,
+        "hopping_event_counts": q_hopping_event_counts,
         "sessionize": q_sessionize,
         # rows-only (no oracle: engine-specific hash / seeded numpy /
         # schedule-dependent result)
@@ -3000,6 +3026,7 @@ def ext_oracle_sql() -> dict:
         "spanning_tree": sql_spanning_tree(),
         "random_walk": sql_random_walk(),
         "windowed_event_counts": sql_windowed_event_counts(),
+        "hopping_event_counts": sql_hopping_event_counts(),
         "sessionize": sql_sessionize(),
         "k1coloring_validity": sql_k1coloring_validity(),
         "louvain_validity": sql_louvain_validity(),

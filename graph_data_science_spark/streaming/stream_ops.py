@@ -74,6 +74,43 @@ def windowed_event_counts(
     )
 
 
+def hopping_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "2 hours",
+    hop: str = "1 hour",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Hopping (sliding) window counts + value sums per key — each event
+    contributes to ``window/hop`` overlapping windows (trend smoothing,
+    rate-over-trailing-window alerting).
+
+    Returns (window_start long epoch-seconds, <key_col>, n_events,
+    sum_value). Same streaming/batch duality as
+    :func:`windowed_event_counts`: the JVM streaming aggregation expands
+    each row into its windows incrementally (state is |open windows| x
+    |keys|, bounded by the watermark); the identical plan on a batch
+    frame is the oracle surface."""
+    src = _with_watermark(events, ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window, hop).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,

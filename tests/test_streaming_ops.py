@@ -145,3 +145,65 @@ def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
         for r in windowed_event_counts(_events(spark, rows)).collect()
     }
     assert got == want
+
+
+def test_hopping_event_counts_batch(spark):
+    from graph_data_science_spark.streaming.stream_ops import (
+        hopping_event_counts,
+    )
+
+    ev = _events(
+        spark,
+        [
+            ("2024-01-01 00:05:00", 1, "click", 1.0),
+            ("2024-01-01 01:10:00", 1, "click", 4.0),
+        ],
+    )
+    out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in hopping_event_counts(
+            ev, window="2 hours", hop="1 hour"
+        ).collect()
+    }
+    h0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    # each event lands in 2 overlapping 2h windows hopping hourly
+    assert out[(h0 - 3600, "click")] == (1, 1.0)
+    assert out[(h0, "click")] == (2, 5.0)
+    assert out[(h0 + 3600, "click")] == (1, 4.0)
+    assert len(out) == 3
+
+
+def test_hopping_counts_streaming_matches_batch(spark, tmp_path):
+    from graph_data_science_spark.streaming.stream_ops import (
+        hopping_event_counts,
+    )
+
+    src = str(tmp_path / "ev_hop")
+    os.makedirs(src)
+    rows = [
+        ("2024-01-01 00:05:00", 1, "click", 1.5),
+        ("2024-01-01 00:45:00", 2, "click", 2.5),
+        ("2024-01-01 01:10:00", 1, "buy", 3.0),
+        ("2024-01-01 02:10:00", 1, "buy", 4.0),
+    ]
+    _events(spark, rows[:2]).coalesce(1).write.parquet(src + "/f1")
+    _events(spark, rows[2:]).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    _run_stream(
+        stream, hopping_event_counts, "hop_out", output_mode="complete"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM hop_out").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in hopping_event_counts(_events(spark, rows)).collect()
+    }
+    assert got == want
