@@ -2728,6 +2728,80 @@ WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
 
 
 # ---------------------------------------------------------------------------
+# Line-level boilerplate (pipeline/text.py): plant a shared cookie-banner
+# line into half the documents and a unique footer into a fifth, then the
+# oracle replays detection (COUNT(DISTINCT doc) per line) and removal
+# (rebuild every document line-by-line) exactly.
+# ---------------------------------------------------------------------------
+
+
+def _boiler_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _documents
+
+    d = F.col("doc_id")
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 2 == 0, F.lit("\nCOOKIE BANNER: accept all")
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit("\nfooter "), d.cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_SQL_BOILER_PLANTED = (
+    "SELECT doc_id, text"
+    " || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||"
+    " 'COOKIE BANNER: accept all' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'footer ' ||"
+    " CAST(doc_id AS VARCHAR) ELSE '' END AS text FROM documents"
+)
+
+_SQL_BOILER_LINES = f"""
+planted AS ({_SQL_BOILER_PLANTED}),
+l AS (SELECT doc_id, UNNEST(range(1, len(ls) + 1)) AS pos,
+             UNNEST(ls) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)),
+bl AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM l WHERE trim(line) != '' GROUP BY line
+       HAVING COUNT(DISTINCT doc_id) >= 2)
+"""
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import boilerplate_lines
+
+    return boilerplate_lines(_boiler_planted(spark, sf_dir))
+
+
+def sql_boilerplate_lines() -> str:
+    return f"WITH {_SQL_BOILER_LINES} SELECT line, n_docs FROM bl"
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(_boiler_planted(spark, sf_dir))
+
+
+def sql_remove_boilerplate() -> str:
+    return f"""
+WITH {_SQL_BOILER_LINES},
+keep AS (SELECT doc_id, pos, l.line FROM l LEFT JOIN bl USING (line)
+         WHERE trim(l.line) = '' OR bl.line IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM keep GROUP BY doc_id)
+SELECT p.doc_id, COALESCE(r.text, '') AS text
+FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization (pipeline/ann.py): per-vector scales, floor(x+.5)
 # rounding, and integer dot products are all engine-exact, so BOTH the
 # quantized vectors and the quantized cosine ranking carry exact oracles.
@@ -2995,6 +3069,8 @@ def ext_queries() -> dict:
         "bpe_validity": q_bpe_validity,
         "corpus_stats": q_corpus_stats,
         "corpus_stats_approx_validity": q_corpus_stats_approx_validity,
+        "boilerplate_lines": q_boilerplate_lines,
+        "remove_boilerplate": q_remove_boilerplate,
         "embedding_quantize": q_embedding_quantize,
         "embedding_topk_quantized": q_embedding_topk_quantized,
         "mixture_plan": q_mixture_plan,
@@ -3068,6 +3144,8 @@ def ext_oracle_sql() -> dict:
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),
         "corpus_stats_approx_validity": sql_corpus_stats_approx_validity(),
+        "boilerplate_lines": sql_boilerplate_lines(),
+        "remove_boilerplate": sql_remove_boilerplate(),
         "embedding_quantize": sql_embedding_quantize(),
         "embedding_topk_quantized": sql_embedding_topk_quantized(),
         "mixture_plan": sql_mixture_plan(),

@@ -17,7 +17,7 @@ hash-agnostic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TOKEN_SPLIT = r"\s+"
 
@@ -1133,4 +1133,84 @@ def corpus_stats_approx(
         "p99_tokens",
         "min_tokens",
         "max_tokens",
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(line, n_docs): exact line texts that occur in >= ``min_docs``
+    DISTINCT documents — cookie banners, nav bars, license headers: the
+    cross-document boilerplate that line-level dedup (CCNet / RefinedWeb
+    style) removes. Whitespace-only lines are ignored.
+
+    Scale: one explode + one shuffle keyed by the line text with the
+    same max-of-dense_rank trick as :func:`duplicated_spans` — per-line
+    rows cross the wire once; no groupBy-then-rejoin double pass."""
+    lines = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.trim("line") != "")
+    w_ord = Window.partitionBy("line").orderBy("doc_id")
+    w_all = Window.partitionBy("line")
+    return (
+        lines.withColumn("_dr", F.dense_rank().over(w_ord))
+        .withColumn("n_docs", F.max("_dr").over(w_all).cast("long"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", "n_docs")
+        .distinct()
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, text): documents rebuilt with cross-document boilerplate
+    lines removed — EVERY occurrence of a line that appears in >=
+    ``min_docs`` distinct documents is dropped (boilerplate carries no
+    training signal; unlike span dedup there is no canonical copy to
+    keep). Line order is preserved; whitespace-only lines survive (they
+    are formatting, not boilerplate).
+
+    Scale: posexplode -> one line-keyed shuffle to tag boilerplate
+    (window, not groupBy+rejoin) -> one doc_id-keyed shuffle to rebuild.
+    The full text crosses the wire twice as lines — at 100 TB gate with
+    a broadcast of :func:`boilerplate_lines` instead when the
+    boilerplate set is small."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w_ord = Window.partitionBy("line").orderBy("doc_id")
+    w_all = Window.partitionBy("line")
+    tagged = (
+        lines.withColumn(
+            "_dr",
+            F.when(F.trim("line") == "", F.lit(1)).otherwise(
+                F.dense_rank().over(w_ord)
+            ),
+        )
+        .withColumn("_nd", F.max("_dr").over(w_all))
+        .filter((F.trim(F.col("line")) == "") | (F.col("_nd") < min_docs))
+    )
+    rebuilt = (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )

@@ -186,3 +186,28 @@ def test_corpus_stats_approx(spark):
     assert approx.min_tokens == 1 and approx.max_tokens == 50
     # with n << accuracy the sketch is exact: median of 1..50
     assert approx.p50_tokens in (25, 26)
+
+
+def test_boilerplate_line_removal(spark):
+    from graph_data_science_spark.pipeline.text import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "unique zero\nCOOKIE BANNER\n\nbody zero"),
+            (1, "unique one\nCOOKIE BANNER\nbody one"),
+            (2, "unique two\nbody two\nbody two"),  # within-doc repeat only
+            (3, "COOKIE BANNER"),  # whole doc is boilerplate
+        ],
+    )
+    bl = {r.line: r.n_docs for r in boilerplate_lines(docs).collect()}
+    assert bl == {"COOKIE BANNER": 3}  # within-doc repeat is NOT boilerplate
+
+    out = {r.doc_id: r.text for r in remove_boilerplate_lines(docs).collect()}
+    assert out[0] == "unique zero\n\nbody zero"  # empty line preserved
+    assert out[1] == "unique one\nbody one"
+    assert out[2] == "unique two\nbody two\nbody two"
+    assert out[3] == ""  # all lines removed, doc kept
