@@ -2728,6 +2728,64 @@ WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
 
 
 # ---------------------------------------------------------------------------
+# Text normalization (pipeline/text.normalize_text): plant NFC-unnormalized
+# accents, control chars, zero-widths, NBSP runs and CRLF into the corpus;
+# the oracle replays the full chain (DuckDB nfc_normalize implements the
+# same UAX#15 as Python's unicodedata) with the class patterns emitted as
+# RE2 \x{..} escapes from the SAME codepoint lists the Spark op uses.
+# ---------------------------------------------------------------------------
+
+
+def _norm_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _documents
+
+    d = F.col("doc_id")
+    # exactly the byte sequence the oracle builds with chr(): NFC-
+    # decomposable accent, \x01 control, ZWSP, CRLF, NBSP run, newline pile
+    mess = F.concat(
+        F.lit(
+            "  cafe\u0301 \x01x\u200b y\r\nline2   end\u00a0\u00a0"
+        ),
+        F.when(d % 3 == 0, F.lit("\n\n\n\ntail")).otherwise(F.lit("")),
+    )
+    return _documents(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), mess).alias("text")
+    )
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import normalize_text
+
+    return normalize_text(_norm_planted(spark, sf_dir), form="NFC")
+
+
+def sql_normalize_text() -> str:
+    from .pipeline.text import _SPACE_CHARS, _STRIP_CHARS
+
+    def cls(chars: str) -> str:
+        return "[" + "".join(f"\\x{{{ord(c):x}}}" for c in chars) + "]"
+
+    mess = (
+        "'  cafe' || chr(769) || ' ' || chr(1) || 'x' || chr(8203) || ' y'"
+        " || chr(13) || chr(10) || 'line2   end' || chr(160) || chr(160)"
+        " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || chr(10)"
+        " || chr(10) || 'tail' ELSE '' END"
+    )
+    return f"""
+WITH planted AS (SELECT doc_id, text || {mess} AS t FROM documents),
+n AS (SELECT doc_id, nfc_normalize(t) AS t FROM planted),
+s1 AS (SELECT doc_id, regexp_replace(t, '{cls(_STRIP_CHARS)}', '', 'g') AS t FROM n),
+s2 AS (SELECT doc_id, regexp_replace(t, chr(13) || chr(10) || '|' || chr(13),
+         chr(10), 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '{cls(_SPACE_CHARS)}', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(t, '[ ' || chr(9) || ']+', ' ', 'g') AS t FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(t, ' *' || chr(10) || ' *', chr(10), 'g') AS t FROM s4),
+s6 AS (SELECT doc_id, regexp_replace(t, chr(10) || '{{3,}}', chr(10) || chr(10), 'g') AS t FROM s5)
+SELECT doc_id, trim(t) AS text FROM s6
+"""
+
+
+# ---------------------------------------------------------------------------
 # Line-level boilerplate (pipeline/text.py): plant a shared cookie-banner
 # line into half the documents and a unique footer into a fifth, then the
 # oracle replays detection (COUNT(DISTINCT doc) per line) and removal
@@ -3069,6 +3127,7 @@ def ext_queries() -> dict:
         "bpe_validity": q_bpe_validity,
         "corpus_stats": q_corpus_stats,
         "corpus_stats_approx_validity": q_corpus_stats_approx_validity,
+        "normalize_text": q_normalize_text,
         "boilerplate_lines": q_boilerplate_lines,
         "remove_boilerplate": q_remove_boilerplate,
         "embedding_quantize": q_embedding_quantize,
@@ -3144,6 +3203,7 @@ def ext_oracle_sql() -> dict:
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),
         "corpus_stats_approx_validity": sql_corpus_stats_approx_validity(),
+        "normalize_text": sql_normalize_text(),
         "boilerplate_lines": sql_boilerplate_lines(),
         "remove_boilerplate": sql_remove_boilerplate(),
         "embedding_quantize": sql_embedding_quantize(),

@@ -1214,3 +1214,68 @@ def remove_boilerplate_lines(
     return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+# characters normalize_text strips outright: C0 controls except \t \n \r,
+# DEL, C1 controls, zero-widths, BOM, soft hyphen (all literal chars, so
+# the same pattern string is valid Java regex AND RE2 — no escape-dialect
+# divergence between engines)
+_STRIP_CHARS = (
+    "".join(chr(c) for c in range(0x00, 0x09))
+    + "\x0b\x0c"
+    + "".join(chr(c) for c in range(0x0E, 0x20))
+    + "\x7f"
+    + "".join(chr(c) for c in range(0x80, 0xA0))
+    + "​‌‍⁠﻿­"
+)
+# unicode space variants folded to ASCII space
+_SPACE_CHARS = (
+    "  "
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "  　"
+)
+
+
+def normalize_text(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    form: str | None = None,
+) -> DataFrame:
+    """(doc_id, text): curation-standard text normalization —
+
+    1. optional Unicode normalization (``form`` = "NFC"/"NFKC"/...,
+       applied via an Arrow-vectorized batch; both DuckDB's
+       ``nfc_normalize`` and Python's ``unicodedata`` implement UAX#15,
+       so even this step is externally replayable),
+    2. strip control characters (C0 except tab/newline, DEL, C1),
+       zero-width characters, BOM, soft hyphens,
+    3. fold CRLF/CR to LF and Unicode space variants to ASCII space,
+    4. collapse space/tab runs to one space, trim spaces around
+       newlines, collapse 3+ newlines to a paragraph break, trim.
+
+    Steps 2-4 are a pure JVM regexp_replace chain (zero shuffle,
+    codegen); patterns contain only literal characters, so the identical
+    strings run under Java regex and RE2."""
+    t = F.col(text_col)
+    if form is not None:
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+
+        def _norm_series(s):  # pd.Series -> pd.Series (Arrow batches)
+            return s.map(
+                lambda x: None
+                if x is None
+                else unicodedata.normalize(form, x)
+            )
+
+        _norm_series.__annotations__ = {}
+        t = pandas_udf(_norm_series, "string")(t)
+    t = F.regexp_replace(t, f"[{_STRIP_CHARS}]", "")
+    t = F.regexp_replace(t, "\r\n|\r", "\n")
+    t = F.regexp_replace(t, f"[{_SPACE_CHARS}]", " ")
+    t = F.regexp_replace(t, "[ \t]+", " ")
+    t = F.regexp_replace(t, " *\n *", "\n")
+    t = F.regexp_replace(t, "\n{3,}", "\n\n")
+    return docs.select("doc_id", F.trim(t).alias(text_col))

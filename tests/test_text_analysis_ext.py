@@ -211,3 +211,25 @@ def test_boilerplate_line_removal(spark):
     assert out[1] == "unique one\nbody one"
     assert out[2] == "unique two\nbody two\nbody two"
     assert out[3] == ""  # all lines removed, doc kept
+
+
+def test_normalize_text(spark):
+    from graph_data_science_spark.pipeline.text import normalize_text
+
+    docs = _docs(
+        spark,
+        [
+            (0, "  hello\tworld \x01\x02ok  "),
+            (1, "a\u00a0b\u2003c\u200bd"),  # nbsp, em space, zwsp
+            (2, "l1  \r\n  l2\r\n\n\n\nl3"),
+            (3, "cafe\u0301"),  # combining acute
+        ],
+    )
+    out = {r.doc_id: r.text for r in normalize_text(docs).collect()}
+    assert out[0] == "hello world ok"
+    assert out[1] == "a b cd"  # spaces folded; zero-width removed outright
+    assert out[2] == "l1\nl2\n\nl3"
+    assert out[3] == "cafe\u0301"  # no unicode form requested
+
+    nfc = {r.doc_id: r.text for r in normalize_text(docs, form="NFC").collect()}
+    assert nfc[3] == "caf\u00e9"
