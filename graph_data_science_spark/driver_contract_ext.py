@@ -2728,6 +2728,51 @@ WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
 
 
 # ---------------------------------------------------------------------------
+# K-core decomposition (operators/kcore.py): the h-index iteration is
+# integer-valued and deterministic, so the oracle replays it exactly —
+# KCORE_LEVELS unrolled rounds from c0 = degree over the symmetrized mod
+# graph (measured fixpoint at sf0.01: 3 rounds; extra levels are no-ops
+# once fixed, and the Spark side RAISES if not converged).
+# ---------------------------------------------------------------------------
+KCORE_LEVELS = 5
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kcore import k_core
+
+    g = _graph_mod(spark, sf_dir)
+    out = k_core(g)
+    return (
+        out.join(
+            g.vertices.select("internal_id", "original_id"), "internal_id"
+        )
+        .select(F.col("original_id").cast("long").alias("id"), "core")
+    )
+
+
+def sql_kcore() -> str:
+    lv = [
+        f"""
+c{t} AS (SELECT dst AS id, CAST(MAX(LEAST(r, value)) AS BIGINT) AS core
+  FROM (SELECT s.b AS dst, c.core AS value,
+          ROW_NUMBER() OVER (PARTITION BY s.b
+            ORDER BY c.core DESC, s.a ASC) AS r
+        FROM sym s JOIN c{t - 1} c ON s.a = c.id)
+  GROUP BY 1)"""
+        for t in range(1, KCORE_LEVELS + 1)
+    ]
+    return f"""
+WITH e0 AS ({sql_edges_mod()}),
+sym AS (SELECT DISTINCT a, b FROM
+         (SELECT src AS a, dst AS b FROM e0
+          UNION ALL SELECT dst AS a, src AS b FROM e0)),
+c0 AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS core FROM sym GROUP BY 1),
+{",".join(lv)}
+SELECT id, core FROM c{KCORE_LEVELS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text normalization (pipeline/text.normalize_text): plant NFC-unnormalized
 # accents, control chars, zero-widths, NBSP runs and CRLF into the corpus;
 # the oracle replays the full chain (DuckDB nfc_normalize implements the
@@ -3127,6 +3172,7 @@ def ext_queries() -> dict:
         "bpe_validity": q_bpe_validity,
         "corpus_stats": q_corpus_stats,
         "corpus_stats_approx_validity": q_corpus_stats_approx_validity,
+        "kcore": q_kcore,
         "normalize_text": q_normalize_text,
         "boilerplate_lines": q_boilerplate_lines,
         "remove_boilerplate": q_remove_boilerplate,
@@ -3203,6 +3249,7 @@ def ext_oracle_sql() -> dict:
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),
         "corpus_stats_approx_validity": sql_corpus_stats_approx_validity(),
+        "kcore": sql_kcore(),
         "normalize_text": sql_normalize_text(),
         "boilerplate_lines": sql_boilerplate_lines(),
         "remove_boilerplate": sql_remove_boilerplate(),
