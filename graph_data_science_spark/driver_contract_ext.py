@@ -2727,6 +2727,40 @@ WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
 """
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph.list degreeDistribution parity (ref GraphStoreCatalog.java:112
+    returns a percentile summary of out-degrees; the catalog method uses
+    percentile_approx for UX parity with GDS's HDR histogram — this
+    contract row pins the same summary with exact type-7 percentiles so
+    it is value-comparable cross-engine)."""
+    deg = edges_mod(spark, sf_dir).groupBy("src").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return deg.agg(
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+        F.round(F.mean("d"), 6).alias("mean_deg"),
+        F.round(F.percentile("d", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("d", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("d", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("d", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def sql_degree_distribution() -> str:
+    return f"""
+WITH deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+             FROM ({sql_edges_mod()}) GROUP BY 1)
+SELECT CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg,
+       ROUND(AVG(d), 6) AS mean_deg,
+       ROUND(quantile_cont(d, 0.5), 6) AS p50,
+       ROUND(quantile_cont(d, 0.75), 6) AS p75,
+       ROUND(quantile_cont(d, 0.9), 6) AS p90,
+       ROUND(quantile_cont(d, 0.99), 6) AS p99
+FROM deg
+"""
+
+
 # ---------------------------------------------------------------------------
 # K-core decomposition (operators/kcore.py): the h-index iteration is
 # integer-valued and deterministic, so the oracle replays it exactly —
@@ -3173,6 +3207,7 @@ def ext_queries() -> dict:
         "corpus_stats": q_corpus_stats,
         "corpus_stats_approx_validity": q_corpus_stats_approx_validity,
         "kcore": q_kcore,
+        "degree_distribution": q_degree_distribution,
         "normalize_text": q_normalize_text,
         "boilerplate_lines": q_boilerplate_lines,
         "remove_boilerplate": q_remove_boilerplate,
@@ -3250,6 +3285,7 @@ def ext_oracle_sql() -> dict:
         "corpus_stats": sql_corpus_stats(),
         "corpus_stats_approx_validity": sql_corpus_stats_approx_validity(),
         "kcore": sql_kcore(),
+        "degree_distribution": sql_degree_distribution(),
         "normalize_text": sql_normalize_text(),
         "boilerplate_lines": sql_boilerplate_lines(),
         "remove_boilerplate": sql_remove_boilerplate(),
