@@ -36,7 +36,9 @@ def contract_queries():
 @pytest.mark.parametrize(
     "name",
     ["token_count", "exact_dedup", "degree_centrality", "common_neighbors",
-     "node_similarity", "embedding_topk"],
+     "node_similarity", "embedding_topk", "dsir_weights", "mixture_sample",
+     "embedding_topk_quantized", "pii_scan_luhn", "remove_boilerplate",
+     "kcore", "hopping_event_counts"],
 )
 def test_no_row_python_udf(spark, contract_queries, name):
     plan = _plan(contract_queries[name](spark, SF_DIR))
