@@ -3127,6 +3127,35 @@ FROM wts ORDER BY sample_key DESC, doc_id LIMIT {DSIR_K}
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample, 10 docs per source weighted
+    by n_chars; the oracle replays every ln(u)/w selection key."""
+    from .pipeline.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(
+        docs, "n_chars", 10, group_col="source", seed=SAMPLE_SEED
+    ).select("doc_id", "source", "sample_key")
+
+
+def sql_weighted_sample() -> str:
+    from .pipeline.sampling import HASH_SPACE
+
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         ROUND(LN(({_SQL_DOC_HASH}::DOUBLE + 0.5) / {float(HASH_SPACE)!r})
+               / n_chars::DOUBLE, 9) AS sample_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, source, sample_key FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY sample_key DESC, doc_id ASC) AS rn FROM keyed)
+WHERE rn <= 10
+"""
+
+
 def ext_queries() -> dict:
     return {
         "bfs": q_bfs,
@@ -3213,6 +3242,7 @@ def ext_queries() -> dict:
         "remove_boilerplate": q_remove_boilerplate,
         "embedding_quantize": q_embedding_quantize,
         "embedding_topk_quantized": q_embedding_topk_quantized,
+        "weighted_sample": q_weighted_sample,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "dsir_weights": q_dsir_weights,
@@ -3291,6 +3321,7 @@ def ext_oracle_sql() -> dict:
         "remove_boilerplate": sql_remove_boilerplate(),
         "embedding_quantize": sql_embedding_quantize(),
         "embedding_topk_quantized": sql_embedding_topk_quantized(),
+        "weighted_sample": sql_weighted_sample(),
         "mixture_plan": sql_mixture_plan(),
         "mixture_sample": sql_mixture_sample(),
         "dsir_weights": sql_dsir_weights(),

@@ -386,3 +386,43 @@ def dsir_sample(
     return keyed.orderBy(
         F.col("sample_key").desc(), F.col("doc_id")
     ).limit(int(k))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    group_col: str | None = None,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): keep the ``k`` rows maximizing ``ln(u) / w`` where
+    ``u`` derives from the portable key hash — inclusion probability is
+    proportional to the weight (sample-by-quality-score, the standard
+    curation move), yet the sample is a pure function of (seed, keys,
+    weights): reproducible on any cluster size and append-stable for
+    the surviving rows' keys.
+
+    ``group_col`` selects k per group (one shuffle keyed by the group);
+    without it the global top-k plans as TakeOrderedAndProject. Rows
+    with weight <= 0 are excluded (never sampled). The selection key is
+    exposed as ``sample_key`` (rounded to 9; ties break by key columns)
+    so an external oracle can replay every decision."""
+    u = (
+        sample_hash(seed, *key_cols).cast("double") + 0.5
+    ) / float(HASH_SPACE)
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 9
+    ).alias("sample_key")
+    base = df.filter(F.col(weight_col) > 0).select("*", key)
+    order = [F.col("sample_key").desc()] + [F.col(c).asc() for c in key_cols]
+    if group_col is None:
+        return base.orderBy(*order).limit(int(k))
+    win = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        base.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -224,3 +224,40 @@ def test_dsir_weights_and_sample(spark):
     assert sorted((r.doc_id, r.sample_key) for r in got) == sorted(
         (r.doc_id, r.sample_key) for r in again
     )
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from graph_data_science_spark.pipeline.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 20 else 1.0) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    # inclusion frequency across seeds tracks the weights
+    heavy_hits = light_hits = 0
+    for seed in range(30):
+        kept = {r.doc_id for r in weighted_sample(df, "w", 20, seed=seed).collect()}
+        assert len(kept) == 20
+        heavy_hits += sum(1 for d in kept if d < 20)
+        light_hits += sum(1 for d in kept if d >= 20)
+    # 20 heavy (w=10) vs 100 light (w=1): heavy should dominate
+    assert heavy_hits > light_hits
+    # deterministic replay
+    a = sorted(r.doc_id for r in weighted_sample(df, "w", 20, seed=5).collect())
+    b = sorted(r.doc_id for r in weighted_sample(df, "w", 20, seed=5).collect())
+    assert a == b
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(
+        [(0, 0.0), (1, -3.0), (2, 1.0)], "doc_id long, w double"
+    )
+    assert {r.doc_id for r in weighted_sample(df2, "w", 3).collect()} == {2}
+
+
+def test_weighted_sample_per_group(spark):
+    from graph_data_science_spark.pipeline.sampling import weighted_sample
+
+    rows = [(i, "g%d" % (i % 3), float(1 + i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    kept = weighted_sample(df, "w", 4, group_col="grp", seed=2).collect()
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r.grp, []).append(r.doc_id)
+    assert {g: len(v) for g, v in by_g.items()} == {"g0": 4, "g1": 4, "g2": 4}
