@@ -97,6 +97,13 @@ def _estimators() -> dict:
             ("pointer-jumping join", 2 * 8 * n, 4 * 8 * n),
         ])
 
+    def kcore(n, m, c):
+        return _tree("kcore", [
+            ("core values (current + next)", 2 * 8 * n, 2 * 8 * n),
+            ("symmetrized simple edges", 2 * m * 16, 2 * m * 16),
+            ("neighbor-value rows per round", 0, 2 * m * _MSG),
+        ])
+
     def label_propagation(n, m, c):
         return _tree("label_propagation", [
             ("labels + seeds", 2 * 8 * n, 2 * 8 * n),
@@ -267,7 +274,7 @@ def _estimators() -> dict:
         "node_similarity": node_similarity, "fastrp": fastrp,
         "node2vec": node2vec, "closeness": closeness, "harmonic": closeness,
         "sssp": sssp, "dijkstra": sssp, "scc": scc,
-        "k1coloring": k1coloring, "hits": hits, "knn": knn,
+        "k1coloring": k1coloring, "kcore": kcore, "hits": hits, "knn": knn,
         "all_shortest_paths": all_shortest_paths,
         "pregel": pregel, "graphsage": graphsage,
         "node_classification": node_classification,
