@@ -2727,6 +2727,69 @@ WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
 """
 
 
+def q_hyperanf_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF invariants vs exact MSBFS distances on the (symmetrized)
+    mod graph: the estimated neighborhood function is monotone, N(0)
+    tracks |V| and N(converged) tracks the exact reachable-pair count
+    within HLL error (m=64, rsd 13%; sums over ~100 counters), and the
+    q=0.9 effective diameter lands within 2 hops of the exact one."""
+    from .graph import from_edge_df
+    from .operators.allpaths import all_shortest_paths
+    from .operators.hyperanf import effective_diameter
+
+    g = _graph_mod(spark, sf_dir)
+    r = effective_diameter(g, q=0.9)
+    nf = r["neighborhood_function"]
+
+    e = edges_mod(spark, sf_dir)
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    g2 = from_edge_df(sym)
+    n = g2.node_count()
+    d = all_shortest_paths(g2)
+    has_self = d.filter("s = target").count()
+    hops = {
+        int(row.d): row.c
+        for row in d.groupBy(F.col("distance").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    if has_self == 0:
+        hops[0] = hops.get(0, 0) + n
+    exact_pairs = sum(hops.values())
+    acc, exact_nf = 0, {}
+    for t in sorted(hops):
+        acc += hops[t]
+        exact_nf[t] = acc
+    target = 0.9 * exact_pairs
+    exact_eff = max(exact_nf)
+    for t in sorted(exact_nf):
+        if exact_nf[t] >= target:
+            exact_eff = t
+            break
+
+    vals = [v for _, v in nf]
+    monotone = all(b >= a * (1 - 1e-9) for a, b in zip(vals, vals[1:]))
+    n0_ok = abs(nf[0][1] / n - 1.0) <= 0.25
+    ninf_ok = abs(r["reachable_pairs"] / exact_pairs - 1.0) <= 0.25
+    eff_ok = abs(r["effective_diameter"] - exact_eff) <= 2.0
+    return spark.createDataFrame(
+        [(bool(monotone), bool(n0_ok), bool(ninf_ok), bool(eff_ok))],
+        "monotone boolean, n0_within_err boolean, "
+        "ninf_within_err boolean, eff_diameter_close boolean",
+    )
+
+
+def sql_hyperanf_validity() -> str:
+    return """
+SELECT TRUE AS monotone, TRUE AS n0_within_err,
+       TRUE AS ninf_within_err, TRUE AS eff_diameter_close
+"""
+
+
 def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph.list degreeDistribution parity (ref GraphStoreCatalog.java:112
     returns a percentile summary of out-degrees; the catalog method uses
@@ -3237,6 +3300,7 @@ def ext_queries() -> dict:
         "corpus_stats_approx_validity": q_corpus_stats_approx_validity,
         "kcore": q_kcore,
         "degree_distribution": q_degree_distribution,
+        "hyperanf_validity": q_hyperanf_validity,
         "normalize_text": q_normalize_text,
         "boilerplate_lines": q_boilerplate_lines,
         "remove_boilerplate": q_remove_boilerplate,
@@ -3316,6 +3380,7 @@ def ext_oracle_sql() -> dict:
         "corpus_stats_approx_validity": sql_corpus_stats_approx_validity(),
         "kcore": sql_kcore(),
         "degree_distribution": sql_degree_distribution(),
+        "hyperanf_validity": sql_hyperanf_validity(),
         "normalize_text": sql_normalize_text(),
         "boilerplate_lines": sql_boilerplate_lines(),
         "remove_boilerplate": sql_remove_boilerplate(),
