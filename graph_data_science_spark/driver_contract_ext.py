@@ -3190,6 +3190,32 @@ FROM wts ORDER BY sample_key DESC, doc_id LIMIT {DSIR_K}
 """
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return hash_split(docs, SPLIT_WEIGHTS, seed=SAMPLE_SEED)
+
+
+def sql_hash_split() -> str:
+    from .pipeline.sampling import HASH_SPACE
+
+    total = sum(SPLIT_WEIGHTS.values())
+    names = sorted(SPLIT_WEIGHTS)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += SPLIT_WEIGHTS[name] / total
+        whens.append(f"WHEN {_SQL_DOC_HASH} < {int(acc * HASH_SPACE)} "
+                     f"THEN '{name}'")
+    return (
+        f"SELECT doc_id, CASE {' '.join(whens)} ELSE '{names[-1]}' END "
+        "AS split FROM documents"
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sample, 10 docs per source weighted
     by n_chars; the oracle replays every ln(u)/w selection key."""
@@ -3306,6 +3332,7 @@ def ext_queries() -> dict:
         "remove_boilerplate": q_remove_boilerplate,
         "embedding_quantize": q_embedding_quantize,
         "embedding_topk_quantized": q_embedding_topk_quantized,
+        "hash_split": q_hash_split,
         "weighted_sample": q_weighted_sample,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -3386,6 +3413,7 @@ def ext_oracle_sql() -> dict:
         "remove_boilerplate": sql_remove_boilerplate(),
         "embedding_quantize": sql_embedding_quantize(),
         "embedding_topk_quantized": sql_embedding_topk_quantized(),
+        "hash_split": sql_hash_split(),
         "weighted_sample": sql_weighted_sample(),
         "mixture_plan": sql_mixture_plan(),
         "mixture_sample": sql_mixture_sample(),

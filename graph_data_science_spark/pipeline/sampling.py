@@ -426,3 +426,37 @@ def weighted_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test split: each row gets the
+    split whose cumulative weight interval contains its key hash.
+    Every row lands in exactly one split; membership is a pure function
+    of (seed, keys) — append-stable and cluster-size-independent, so a
+    grown corpus never leaks old val/test rows into train. Weights are
+    normalized; interval boundaries are integer hash thresholds (plan
+    literals), making every assignment externally replayable.
+
+    Zero shuffle: one CASE-chain projection next to the scan."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    h = sample_hash(seed, *key_cols)
+    acc = 0.0
+    expr = None
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += float(weights[name]) / total
+        thr = int(acc * HASH_SPACE)
+        branch = F.when(h < thr, F.lit(name))
+        expr = branch if expr is None else expr.when(h < thr, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -261,3 +261,28 @@ def test_weighted_sample_per_group(spark):
     for r in kept:
         by_g.setdefault(r.grp, []).append(r.doc_id)
     assert {g: len(v) for g, v in by_g.items()} == {"g0": 4, "g1": 4, "g2": 4}
+
+
+def test_hash_split_disjoint_and_stable(spark):
+    from graph_data_science_spark.pipeline.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, w, seed=11).collect()
+    assert len(out) == 2000  # total: every row in exactly one split
+    by = {}
+    for r in out:
+        by.setdefault(r.split, set()).add(r.doc_id)
+    assert set(by) == {"train", "val", "test"}
+    # proportions approximately match (binomial noise)
+    assert 1500 <= len(by["train"]) <= 1700
+    assert 130 <= len(by["val"]) <= 270 and 130 <= len(by["test"]) <= 270
+    # append stability: a grown corpus preserves old assignments
+    grown = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    out2 = {
+        r.doc_id: r.split for r in hash_split(grown, w, seed=11).collect()
+    }
+    for split, ids in by.items():
+        assert all(out2[i] == split for i in ids)
