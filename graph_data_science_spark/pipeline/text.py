@@ -1158,10 +1158,10 @@ def boilerplate_lines(
     w_all = Window.partitionBy("line")
     return (
         lines.withColumn("_dr", F.dense_rank().over(w_ord))
+        .withColumn("_rn", F.row_number().over(w_ord))
         .withColumn("n_docs", F.max("_dr").over(w_all).cast("long"))
-        .filter(F.col("n_docs") >= min_docs)
+        .filter((F.col("n_docs") >= min_docs) & (F.col("_rn") == 1))
         .select("line", "n_docs")
-        .distinct()
     )
 
 

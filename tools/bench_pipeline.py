@@ -298,6 +298,64 @@ def main() -> None:
         ),
     )
 
+    # text normalization / line boilerplate / profiling (round-2 late ops)
+    from graph_data_science_spark.pipeline.text import (
+        corpus_stats_approx,
+        normalize_text,
+        remove_boilerplate_lines,
+    )
+
+    timed("normalize_text", lambda: force(normalize_text(docs), "text"))
+    timed(
+        "remove_boilerplate_lines",
+        lambda: force(remove_boilerplate_lines(docs), "text"),
+    )
+    timed(
+        "corpus_stats_approx",
+        lambda: force(corpus_stats_approx(docs), "vocab_approx"),
+    )
+
+    # data selection / mixing / splitting
+    from graph_data_science_spark.pipeline.sampling import (
+        dsir_weights,
+        hash_split,
+        mixture_sample,
+        weighted_sample,
+    )
+
+    timed(
+        "mixture_sample",
+        lambda: mixture_sample(
+            grouped, "grp", {f"s{i}": 1.0 for i in range(16)},
+            n_docs * 20, seed=7,
+        ).count(),
+    )
+    target_docs = docs.filter(F.col("doc_id") % 499 == 1)
+    timed(
+        "dsir_weights",
+        lambda: force(dsir_weights(docs, target_docs), "logratio"),
+    )
+    wdocs = docs.withColumn("w", F.length("text").cast("double"))
+    timed(
+        "weighted_sample",
+        lambda: weighted_sample(wdocs, "w", n_docs // 10, seed=7).count(),
+    )
+    timed(
+        "hash_split",
+        lambda: force(
+            hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}),
+            "split",
+        ),
+    )
+
+    # int8 quantization (linear pass over the embedding column)
+    from graph_data_science_spark.pipeline.ann import quantize_embeddings
+
+    timed(
+        "quantize_embeddings",
+        lambda: force(quantize_embeddings(emb), "scale"),
+    )
+
     per_op = {
         k: {
             "sec": v,
