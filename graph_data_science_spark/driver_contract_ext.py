@@ -3190,6 +3190,57 @@ FROM wts ORDER BY sample_key DESC, doc_id LIMIT {DSIR_K}
 """
 
 
+def q_curate_corpus_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline invariants on the documents table
+    (benchmark = every 499th doc): stage chain is consistent (each
+    stage's docs_in equals the previous docs_out, starting at the table
+    count), counts never increase, the survivors are exactly the final
+    stage's docs_out and each carries a split assignment."""
+    from .pipeline.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_total = docs.count()
+    bench = docs.filter(F.col("doc_id") % 499 == 1)
+    out, report = curate_corpus(
+        docs,
+        benchmark=bench,
+        split_weights={"train": 0.9, "val": 0.1},
+        min_jaccard_est=0.5,
+        seed=SAMPLE_SEED,
+    )
+    rows = sorted(report.collect(), key=lambda r: r.stage_idx)
+    chain_ok = rows[0].docs_in == n_total and all(
+        a.docs_out == b.docs_in for a, b in zip(rows, rows[1:])
+    )
+    monotone = all(r.docs_out <= r.docs_in for r in rows)
+    stage_names_ok = [r.stage for r in rows] == [
+        "normalize", "exact_dedup", "near_dup", "quality", "pii_redact",
+        "decontaminate",
+    ]
+    final = out.collect()
+    count_ok = len(final) == rows[-1].docs_out
+    split_ok = all(r.split in ("train", "val") for r in final)
+    return spark.createDataFrame(
+        [(
+            bool(chain_ok), bool(monotone), bool(stage_names_ok),
+            bool(count_ok), bool(split_ok),
+        )],
+        "chain_consistent boolean, counts_monotone boolean, "
+        "stages_expected boolean, survivor_count_matches boolean, "
+        "split_total boolean",
+    )
+
+
+def sql_curate_corpus_validity() -> str:
+    return """
+SELECT TRUE AS chain_consistent, TRUE AS counts_monotone,
+       TRUE AS stages_expected, TRUE AS survivor_count_matches,
+       TRUE AS split_total
+"""
+
+
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -3333,6 +3384,7 @@ def ext_queries() -> dict:
         "embedding_quantize": q_embedding_quantize,
         "embedding_topk_quantized": q_embedding_topk_quantized,
         "hash_split": q_hash_split,
+        "curate_corpus_validity": q_curate_corpus_validity,
         "weighted_sample": q_weighted_sample,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -3414,6 +3466,7 @@ def ext_oracle_sql() -> dict:
         "embedding_quantize": sql_embedding_quantize(),
         "embedding_topk_quantized": sql_embedding_topk_quantized(),
         "hash_split": sql_hash_split(),
+        "curate_corpus_validity": sql_curate_corpus_validity(),
         "weighted_sample": sql_weighted_sample(),
         "mixture_plan": sql_mixture_plan(),
         "mixture_sample": sql_mixture_sample(),

@@ -276,3 +276,114 @@ def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
             6,
         ).alias("fill_frac"),
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    benchmark: DataFrame | None = None,
+    unicode_form: str | None = None,
+    near_dup: bool = True,
+    quality: bool = True,
+    redact: bool = True,
+    split_weights: dict[str, float] | None = None,
+    min_jaccard_est: float = 0.7,
+    decontaminate_window: int = 8,
+    seed: int = 42,
+    base_hash: str = "md5",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end corpus curation: the composition a training-data user
+    actually runs, wired from the individually-oracled operators —
+
+    normalize → exact dedup (keep canonical) → MinHash-LSH near-dup
+    clusters (keep canonical) → C4/Gopher quality gates → PII redaction
+    → benchmark decontamination (drop contaminated docs) → train/val/
+    test split.
+
+    Returns ``(curated_docs, report)``: the surviving documents
+    (doc_id, text[, split]) and a per-stage report DataFrame
+    (stage_idx, stage, docs_in, docs_out, dropped).
+
+    Every stage is deterministic (hash-gated / canonical-min-id), so
+    the whole pipeline is reproducible across cluster sizes. Each stage
+    materializes via localCheckpoint before the next (at real scale:
+    write each stage to parquet/Iceberg instead — same shape, plus
+    lineage); counts in the report force one action per stage."""
+    from .sampling import hash_split
+    from .text import (
+        dedup_clusters,
+        exact_dedup,
+        heuristic_filters,
+        minhash_dedup,
+        normalize_text,
+    )
+
+    spark = docs.sparkSession
+    stages: list[tuple[str, int, int]] = []
+    cur = normalize_text(docs, text_col=text_col, form=unicode_form)
+    cur = cur.localCheckpoint(eager=True)
+    n = cur.count()
+    stages.append(("normalize", n, n))
+
+    canon = exact_dedup(cur, text_col=text_col).select("doc_id")
+    cur = cur.join(canon, "doc_id", "left_semi").localCheckpoint(eager=True)
+    n2 = cur.count()
+    stages.append(("exact_dedup", n, n2))
+    n = n2
+
+    if near_dup:
+        pairs = minhash_dedup(
+            cur,
+            min_jaccard_est=min_jaccard_est,
+            text_col=text_col,
+            base_hash=base_hash,
+        )
+        keep = dedup_clusters(pairs, cur).filter("keep").select("doc_id")
+        cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        n2 = cur.count()
+        stages.append(("near_dup", n, n2))
+        n = n2
+
+    if quality:
+        ok = heuristic_filters(cur, text_col=text_col).filter(
+            "keep"
+        ).select("doc_id")
+        cur = cur.join(ok, "doc_id", "left_semi").localCheckpoint(eager=True)
+        n2 = cur.count()
+        stages.append(("quality", n, n2))
+        n = n2
+
+    if redact:
+        cur = pii_redact(cur, text_col=text_col).localCheckpoint(eager=True)
+        stages.append(("pii_redact", n, n))
+
+    if benchmark is not None:
+        clean = decontaminate(
+            cur,
+            benchmark,
+            decontaminate_window,
+            text_col=text_col,
+            base_hash=base_hash,
+        ).filter("NOT contaminated").select("doc_id")
+        cur = cur.join(clean, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        n2 = cur.count()
+        stages.append(("decontaminate", n, n2))
+        n = n2
+
+    if split_weights:
+        cur = hash_split(cur, split_weights, seed=seed)
+
+    report = spark.createDataFrame(
+        [
+            (i, name, d_in, d_out, d_in - d_out)
+            for i, (name, d_in, d_out) in enumerate(stages)
+        ],
+        "stage_idx long, stage string, docs_in long, docs_out long, "
+        "dropped long",
+    )
+    return cur, report

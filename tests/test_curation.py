@@ -232,3 +232,47 @@ def test_pii_scan_luhn(spark):
         luhn_valid(F.lit("4111-1111-1111-1112")).alias("bad"),
     ).collect()[0]
     assert vals.good is True and vals.bad is False
+
+
+def test_curate_corpus_end_to_end(spark):
+    from graph_data_science_spark.pipeline.curation import curate_corpus
+
+    def para(seed):
+        ws = [f"word{chr(96 + seed)}{chr(97 + j)}" for j in range(20)]
+        return " ".join(ws * 3)  # 60 passing tokens, all-alpha, len ~6
+
+    base, other, third, fourth = para(1), para(2), para(3), para(4)
+    near = base.replace("wordaa", "wordazz", 1)
+    bench_span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                         # exact dup of 0
+            (2, near),                         # near dup of 0
+            (3, other),                        # distinct keeper
+            (4, "tiny doc few tokens"),        # fails quality (< 50 tokens)
+            (5, third + " ssn 123-45-6789"),   # kept, must be redacted
+            (6, fourth + " " + bench_span),    # contaminated
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "prefix " + bench_span + " suffix")], "doc_id long, text string"
+    )
+    out, report = curate_corpus(
+        docs,
+        benchmark=benchmark,
+        split_weights={"train": 1.0},
+        min_jaccard_est=0.5,
+    )
+    stages = {r.stage: (r.docs_in, r.docs_out) for r in report.collect()}
+    assert stages["normalize"] == (7, 7)
+    assert stages["exact_dedup"] == (7, 6)     # doc 1 gone
+    assert stages["near_dup"] == (6, 5)        # doc 2 gone
+    assert stages["quality"] == (5, 4)         # doc 4 gone
+    assert stages["pii_redact"] == (4, 4)
+    assert stages["decontaminate"] == (4, 3)   # doc 6 gone
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 3, 5}
+    assert all(r.split == "train" for r in rows.values())
+    assert "<SSN>" in rows[5].text and "123-45-6789" not in rows[5].text
