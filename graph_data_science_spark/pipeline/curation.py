@@ -231,9 +231,14 @@ def pack_sequences(
     for row in sorted(totals, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
         acc += row["_t"] or 0
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
+    # a typed empty expression: F.create_map() with no args yields
+    # map<void,void>, and map<void,void>[int] fails analysis on an
+    # empty input frame
+    off_map = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.create_map(F.lit(-1), F.lit(0))
+    )
 
     w = (
         Window.partitionBy("_pid")

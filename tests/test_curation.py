@@ -276,3 +276,10 @@ def test_curate_corpus_end_to_end(spark):
     assert set(rows) == {0, 3, 5}
     assert all(r.split == "train" for r in rows.values())
     assert "<SSN>" in rows[5].text and "123-45-6789" not in rows[5].text
+
+
+def test_pack_sequences_empty_input(spark):
+    from graph_data_science_spark.pipeline.curation import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(empty, 64).count() == 0  # no map()[int] crash
