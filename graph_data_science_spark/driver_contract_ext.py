@@ -3190,6 +3190,35 @@ FROM wts ORDER BY sample_key DESC, doc_id LIMIT {DSIR_K}
 """
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 16, 4
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return chunk_documents(docs, CHUNK_TOKENS, overlap=CHUNK_OVERLAP)
+
+
+def sql_chunk_documents() -> str:
+    w, ov = CHUNK_TOKENS, CHUNK_OVERLAP
+    step = w - ov
+    return rf"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             FROM documents),
+c AS (SELECT doc_id,
+        CAST(1 + CEIL(GREATEST(len(t) - {w}, 0) / {step}.0) AS INT) AS nc, t
+      FROM tok)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(t[i*{step} + 1 : i*{step} + {w}], ' ') AS chunk_text,
+       CAST(len(t[i*{step} + 1 : i*{step} + {w}]) AS BIGINT) AS n_tokens
+FROM c, UNNEST(range(0, nc)) AS u(i)
+WHERE trim(array_to_string(t[i*{step} + 1 : i*{step} + {w}], ' ')) != ''
+"""
+
+
 def q_curate_corpus_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline invariants on the documents table
     (benchmark = every 499th doc): stage chain is consistent (each
@@ -3385,6 +3414,7 @@ def ext_queries() -> dict:
         "embedding_topk_quantized": q_embedding_topk_quantized,
         "hash_split": q_hash_split,
         "curate_corpus_validity": q_curate_corpus_validity,
+        "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -3467,6 +3497,7 @@ def ext_oracle_sql() -> dict:
         "embedding_topk_quantized": sql_embedding_topk_quantized(),
         "hash_split": sql_hash_split(),
         "curate_corpus_validity": sql_curate_corpus_validity(),
+        "chunk_documents": sql_chunk_documents(),
         "weighted_sample": sql_weighted_sample(),
         "mixture_plan": sql_mixture_plan(),
         "mixture_sample": sql_mixture_sample(),

@@ -1279,3 +1279,57 @@ def normalize_text(
     t = F.regexp_replace(t, " *\n *", "\n")
     t = F.regexp_replace(t, "\n{3,}", "\n\n")
     return docs.select("doc_id", F.trim(t).alias(text_col))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    *,
+    overlap: int = 0,
+    text_col: str = "text",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_tokens): split each document
+    into token windows of ``chunk_tokens`` with ``overlap`` tokens of
+    context carried between consecutive chunks — the standard chunker
+    for RAG indexing and long-document training prep. The final chunk
+    keeps its natural (shorter) length; chunk starts advance by
+    ``chunk_tokens - overlap``.
+
+    Pure codegen: tokenize in the scan projection, build the chunk
+    array with ``sequence``+``transform``+``slice`` (no UDF, no
+    shuffle), then one posexplode. Zero data movement beyond the
+    explode itself."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    step = chunk_tokens - overlap
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(0, n - chunk) / step)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(step)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * step + 1, chunk_tokens)
+        ),
+    )
+    out = docs.select(
+        "doc_id",
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    if drop_empty:
+        out = out.filter(F.trim(F.col("chunk_text")) != "")
+    return out

@@ -233,3 +233,32 @@ def test_normalize_text(spark):
 
     nfc = {r.doc_id: r.text for r in normalize_text(docs, form="NFC").collect()}
     assert nfc[3] == "caf\u00e9"
+
+
+def test_chunk_documents(spark):
+    import pytest
+
+    from graph_data_science_spark.pipeline.text import chunk_documents
+
+    docs = _docs(
+        spark,
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "")],
+    )
+    rows = sorted(
+        chunk_documents(docs, 4, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    got = [(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens) for r in rows]
+    assert got == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "d e f g", 4),
+        (1, 2, "g h i j", 4),
+        (2, 0, "x y", 2),
+    ]
+    # every token covered; consecutive chunks share `overlap` tokens
+    assert rows[0].chunk_text.split()[-1] == rows[1].chunk_text.split()[0]
+    # no-overlap variant tiles exactly
+    tiles = chunk_documents(docs.filter("doc_id = 1"), 5).collect()
+    assert sorted(r.chunk_text for r in tiles) == ["a b c d e", "f g h i j"]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 4, overlap=4)
