@@ -128,7 +128,7 @@ def triangle_probe_counts(
         .localCheckpoint(eager=True)  # reused by both passes below
     )
 
-    def write_keys(key_, pdf: pd.DataFrame) -> pd.DataFrame:
+    def write_keys(key_, pdf):
         b = int(key_[0])
         k = np.sort(
             pdf["u"].to_numpy(np.int64) * n + pdf["v"].to_numpy(np.int64)
@@ -136,7 +136,7 @@ def triangle_probe_counts(
         _write_static_file(block_dir, "keys", b, k)
         return pd.DataFrame({"bucket": [b], "n_keys": [len(k)]})
 
-    def kernel(key_, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key_, pdf):
         u = pdf["u"].to_numpy(np.int64)
         v = pdf["v"].to_numpy(np.int64)
         dv = pdf["dv"].to_numpy(np.float64)
