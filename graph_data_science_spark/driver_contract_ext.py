@@ -2727,6 +2727,37 @@ WHERE {_SQL_DOC_HASH} < FLOOR(rate * {float(_HS)!r})
 """
 
 
+def q_triangle_approx_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION invariants on the mod graph: the p=1 run equals the exact
+    count, the p=0.5 estimate lands within 3x the paper's 1/(p*sqrt(T))
+    relative-error bound, and the sample is a strict, reproducible
+    subset of the edges."""
+    from .operators.triangle import triangle_count, triangle_count_approx
+
+    g = _graph_mod(spark, sf_dir)
+    exact = triangle_count(g).global_count
+    full = triangle_count_approx(g, p=1.0)
+    r1 = triangle_count_approx(g, p=0.5, seed=3)
+    r2 = triangle_count_approx(g, p=0.5, seed=3)
+    bound = 3.0 / (0.5 * max(exact, 1) ** 0.5)
+    ok_exact = full["estimate"] == exact
+    ok_err = abs(r1["estimate"] - exact) / max(exact, 1) <= max(bound, 0.35)
+    ok_subset = 0 < r1["sampled_edges"] < full["sampled_edges"]
+    ok_repro = r1["estimate"] == r2["estimate"]
+    return spark.createDataFrame(
+        [(bool(ok_exact), bool(ok_err), bool(ok_subset), bool(ok_repro))],
+        "p1_exact boolean, within_error boolean, strict_subset boolean, "
+        "reproducible boolean",
+    )
+
+
+def sql_triangle_approx_validity() -> str:
+    return """
+SELECT TRUE AS p1_exact, TRUE AS within_error,
+       TRUE AS strict_subset, TRUE AS reproducible
+"""
+
+
 def q_hyperanf_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF invariants vs exact MSBFS distances on the (symmetrized)
     mod graph: the estimated neighborhood function is monotone, N(0)
@@ -3407,6 +3438,7 @@ def ext_queries() -> dict:
         "kcore": q_kcore,
         "degree_distribution": q_degree_distribution,
         "hyperanf_validity": q_hyperanf_validity,
+        "triangle_approx_validity": q_triangle_approx_validity,
         "normalize_text": q_normalize_text,
         "boilerplate_lines": q_boilerplate_lines,
         "remove_boilerplate": q_remove_boilerplate,
@@ -3490,6 +3522,7 @@ def ext_oracle_sql() -> dict:
         "kcore": sql_kcore(),
         "degree_distribution": sql_degree_distribution(),
         "hyperanf_validity": sql_hyperanf_validity(),
+        "triangle_approx_validity": sql_triangle_approx_validity(),
         "normalize_text": sql_normalize_text(),
         "boilerplate_lines": sql_boilerplate_lines(),
         "remove_boilerplate": sql_remove_boilerplate(),

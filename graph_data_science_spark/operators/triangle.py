@@ -318,3 +318,41 @@ def balanced_triads(graph: Graph) -> DataFrame:
             ),
         )
     )
+
+
+def triangle_count_approx(
+    graph: Graph,
+    *,
+    p: float = 0.1,
+    seed: int = 42,
+) -> dict:
+    """DOULION approximate GLOBAL triangle count (Tsourakakis, Kang,
+    Miller & Faloutsos, KDD 2009): keep each undirected edge with
+    probability ``p`` (here: deterministically, via the portable edge
+    hash — reproducible on any cluster), count triangles on the sparse
+    sample, scale by ``1/p^3``. Expected relative error ~
+    ``1/(p * sqrt(T))`` on graphs with T triangles; the sample cuts
+    both the edge volume (×p) and the wedge-join work (×~p^2), which is
+    the point at 10^12-edge scale.
+
+    Returns {estimate, sampled_triangles, p, sampled_edges}."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    from ..graph import Graph as _G
+    from ..pipeline.sampling import sample_hash, HASH_SPACE
+
+    canon = _canonical_undirected(graph.edges)
+    thr = int(p * HASH_SPACE)
+    kept = canon.where(
+        sample_hash(seed, F.col("a").cast("string"),
+                    F.col("b").cast("string")) < thr
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    n_kept = kept.count()
+    sub = _G(graph.vertices, kept)
+    res = triangle_count(sub)
+    return {
+        "estimate": res.global_count / (p ** 3),
+        "sampled_triangles": res.global_count,
+        "p": p,
+        "sampled_edges": n_kept,
+    }

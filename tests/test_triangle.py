@@ -200,3 +200,37 @@ def test_dense_gate_and_max_degree(spark, monkeypatch):
     assert per[0] == -1
     assert per[7] == per[8] == per[9] == 1
     assert total == 1
+
+
+def test_triangle_count_approx_doulion(spark):
+    import numpy as np
+
+    from graph_data_science_spark.graph import from_edge_list
+    from graph_data_science_spark.operators.triangle import (
+        triangle_count,
+        triangle_count_approx,
+    )
+
+    # dense-ish random graph with many triangles so the estimator's
+    # 1/(p*sqrt(T)) error bound is tight
+    rng = np.random.default_rng(5)
+    n = 120
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(2400, 2))
+            if a != b
+        }
+    )
+    g = from_edge_list(spark, [(str(a), str(b)) for a, b in edges])
+    exact = triangle_count(g).global_count
+    assert exact > 500
+    r = triangle_count_approx(g, p=0.5, seed=3)
+    # p=0.5: rel error bound ~ 1/(0.5*sqrt(T)) ~ 6%; allow 25%
+    assert abs(r["estimate"] - exact) / exact < 0.25
+    assert 0 < r["sampled_edges"] < len(edges)
+    # deterministic replay
+    r2 = triangle_count_approx(g, p=0.5, seed=3)
+    assert r2["estimate"] == r["estimate"]
+    # p=1 degenerates to the exact count
+    assert triangle_count_approx(g, p=1.0)["estimate"] == exact
