@@ -1723,6 +1723,88 @@ def sql_windowed_event_counts() -> str:
     )
 
 
+def _events_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        # NTZ -> (UTC-pinned) TIMESTAMP -> fractional epoch double
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-sort formulation, one shuffle): every event
+    picks up the latest prior "status" row of the same user — the
+    status table derives deterministically from the events themselves
+    (epoch % 7 slots, deduped per (user, ts)). DuckDB replays with its
+    native ASOF LEFT JOIN."""
+    from .pipeline.joins import asof_join
+
+    ev = _events_epoch(spark, sf_dir)
+    status = (
+        ev.filter(F.floor("ts").cast("long") % 7 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("status_value"))
+    )
+    out = asof_join(ev, status, on="user_id")
+    # the checker sorts values: fold the unmatched-left nulls to -1
+    return out.select(
+        "user_id", "ts", F.round("value", 4).alias("value"),
+        F.coalesce("ts_right", F.lit(-1.0)).alias("ts_right"),
+        F.coalesce("status_value_right", F.lit(-1.0)).alias(
+            "status_value_right"
+        ),
+    )
+
+
+def sql_asof_join() -> str:
+    return """
+WITH ev AS (SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS ts, value
+            FROM events),
+status AS (SELECT user_id, ts, ROUND(MAX(value), 4) AS status_value
+           FROM ev WHERE CAST(FLOOR(ts) AS BIGINT) % 7 = 0 GROUP BY 1, 2)
+SELECT ev.user_id, ev.ts, ROUND(ev.value, 4) AS value,
+       COALESCE(status.ts, -1.0) AS ts_right,
+       COALESCE(status.status_value, -1.0) AS status_value_right
+FROM ev ASOF LEFT JOIN status
+  ON ev.user_id = status.user_id AND ev.ts >= status.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: events against deterministic 90-minute
+    maintenance windows derived from the event hours; the bin equi-join
+    plus residual filter replays as a plain range-predicate join."""
+    from .pipeline.joins import range_join
+
+    ev = _events_epoch(spark, sf_dir).select("user_id", "ts")
+    ivals = (
+        ev.select(
+            "user_id",
+            (F.floor(F.col("ts") / 7200) * 7200).alias("start"),
+        )
+        .distinct()
+        .withColumn("end", F.col("start") + 5400.0)
+        .withColumn("start", F.col("start").cast("double"))
+    )
+    out = range_join(ev, ivals, on="user_id", bin_width=3600.0)
+    return out.select("user_id", "ts", "start", "end")
+
+
+def sql_range_join() -> str:
+    return """
+WITH ev AS (SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS ts FROM events),
+ivals AS (SELECT DISTINCT user_id,
+            CAST(FLOOR(ts / 7200) * 7200 AS DOUBLE) AS start,
+            CAST(FLOOR(ts / 7200) * 7200 + 5400 AS DOUBLE) AS "end"
+          FROM ev)
+SELECT ev.user_id, ev.ts, ivals.start, ivals."end" AS end
+FROM ev JOIN ivals
+  ON ev.user_id = ivals.user_id
+ AND ev.ts >= ivals.start AND ev.ts < ivals."end"
+"""
+
+
 def q_hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window counts (2h window, 1h hop): every event lands in
     exactly 2 overlapping windows."""
@@ -3379,6 +3461,8 @@ def ext_queries() -> dict:
         "random_walk": q_random_walk,
         "windowed_event_counts": q_windowed_event_counts,
         "hopping_event_counts": q_hopping_event_counts,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         # rows-only (no oracle: engine-specific hash / seeded numpy /
         # schedule-dependent result)
@@ -3478,6 +3562,8 @@ def ext_oracle_sql() -> dict:
         "random_walk": sql_random_walk(),
         "windowed_event_counts": sql_windowed_event_counts(),
         "hopping_event_counts": sql_hopping_event_counts(),
+        "asof_join": sql_asof_join(),
+        "range_join": sql_range_join(),
         "sessionize": sql_sessionize(),
         "k1coloring_validity": sql_k1coloring_validity(),
         "louvain_validity": sql_louvain_validity(),
