@@ -1303,14 +1303,16 @@ SELECT vec_id, neighbor_id, ROUND(cosine, 4) AS cosine FROM (
 # -- registry ------------------------------------------------------------
 def _ext_queries():
     from .driver_contract_ext import ext_queries
+    from .driver_contract_ext2 import ext2_queries
 
-    return ext_queries()
+    return {**ext_queries(), **ext2_queries()}
 
 
 def _ext_oracle_sql():
     from .driver_contract_ext import ext_oracle_sql
+    from .driver_contract_ext2 import ext2_oracle_sql
 
-    return ext_oracle_sql()
+    return {**ext_oracle_sql(), **ext2_oracle_sql()}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,347 @@
+"""Contract registry extension 2 — DAG family (topological sort, longest
+path, Bellman-Ford), conductance, and link-graph web operators.
+
+Derived graphs (all arithmetic-only so Spark and DuckDB compute identical
+structures):
+
+- ``stride DAG`` — two arithmetic edge families over supplier keys
+  1..n: s → s + stride + (s % 3) and s → s + stride + 5 + (s % 7)
+  (stride = max(1, ⌊n/8⌋), edges kept while dst ≤ n). Strictly
+  increasing ⇒ acyclic; out-degree ≤ 2, in-branching ⇒ the longest-path
+  MAX is exercised; depth ≈ 8-9 ⇒ the layered peel stays cheap.
+- ``signed 2-hop DAG`` — the shortest-path customer→order→supplier DAG
+  with weights shifted NEGATIVE: w1 = (o_orderkey % 97)/10 − 4.0,
+  w2 = (l_suppkey % 53)/10 − 2.0 (Bellman-Ford exactness on signed
+  costs; no cycles, so distances stay well-defined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .driver_contract import SQL_EDGES_SP, _graph_sp, _lineitem
+from .driver_contract_ext import (
+    CUST_OFFSET,
+    ORDER_OFFSET,
+    _mod_header,
+    edges_mod,
+)
+from .graph import from_edge_df
+
+# ---------------------------------------------------------------------------
+# stride DAG
+# ---------------------------------------------------------------------------
+
+SQL_STRIDE = (
+    "GREATEST(1, CAST(FLOOR((SELECT COUNT(*) FROM supplier) / 8.0) "
+    "AS BIGINT))"
+)
+
+SQL_DAG2_EDGES = f"""
+SELECT src, dst, weight FROM (
+  SELECT s_suppkey AS src,
+         s_suppkey + {SQL_STRIDE} + (s_suppkey % 3) AS dst,
+         1.0 + (s_suppkey % 5) / 10.0 AS weight
+  FROM supplier
+  UNION ALL
+  SELECT s_suppkey AS src,
+         s_suppkey + {SQL_STRIDE} + 5 + (s_suppkey % 7) AS dst,
+         1.0 + (s_suppkey % 11) / 10.0 AS weight
+  FROM supplier)
+WHERE dst <= (SELECT COUNT(*) FROM supplier)
+"""
+
+
+def edges_dag2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = supp.count()
+    stride = max(1, n // 8)
+    s = F.col("s_suppkey")
+    e1 = supp.select(
+        s.alias("src"),
+        (s + stride + F.pmod(s, F.lit(3))).alias("dst"),
+        (1.0 + F.pmod(s, F.lit(5)) / 10.0).alias("weight"),
+    )
+    e2 = supp.select(
+        s.alias("src"),
+        (s + stride + 5 + F.pmod(s, F.lit(7))).alias("dst"),
+        (1.0 + F.pmod(s, F.lit(11)) / 10.0).alias("weight"),
+    )
+    return e1.unionByName(e2).filter(F.col("dst") <= n)
+
+
+def _graph_dag2(spark: SparkSession, sf_dir: str):
+    return from_edge_df(edges_dag2(spark, sf_dir), weight="weight")
+
+
+SQL_DAG2_CTES = f"""
+dag AS MATERIALIZED ({SQL_DAG2_EDGES}),
+nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+  (SELECT src AS id FROM dag UNION ALL SELECT dst FROM dag)),
+roots AS (SELECT id FROM nodes
+          WHERE id NOT IN (SELECT dst FROM dag))
+"""
+
+
+def _dag2_to_original(df: DataFrame, g) -> DataFrame:
+    return (
+        df.join(g.vertices, "internal_id")
+        .select(F.col("original_id").cast("long").alias("id"),
+                *[c for c in df.columns if c != "internal_id"])
+    )
+
+
+def q_topological_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dag import topological_sort
+
+    g = _graph_dag2(spark, sf_dir)
+    return _dag2_to_original(topological_sort(g), g)
+
+
+def sql_topological_sort() -> str:
+    # layer(v) = longest hop-path from any root: recursive path
+    # enumeration (out-degree <= 2, depth <= ~9 -> bounded), MAX(d).
+    return f"""
+WITH RECURSIVE
+{SQL_DAG2_CTES},
+reach AS (
+  SELECT id, 0 AS d FROM roots
+  UNION ALL
+  SELECT e.dst AS id, r.d + 1 AS d FROM reach r JOIN dag e ON e.src = r.id)
+SELECT id, CAST(MAX(d) AS INT) AS layer FROM reach GROUP BY id
+"""
+
+
+def q_dag_longest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dag import dag_longest_path
+
+    g = _graph_dag2(spark, sf_dir)
+    out = dag_longest_path(g).select(
+        "internal_id", F.round("distance", 6).alias("distance")
+    )
+    return _dag2_to_original(out, g)
+
+
+def sql_dag_longest_path() -> str:
+    return f"""
+WITH RECURSIVE
+{SQL_DAG2_CTES},
+reach AS (
+  SELECT id, CAST(0 AS DOUBLE) AS d FROM roots
+  UNION ALL
+  SELECT e.dst AS id, r.d + e.weight AS d
+  FROM reach r JOIN dag e ON e.src = r.id)
+SELECT id, ROUND(MAX(d), 6) AS distance FROM reach GROUP BY id
+"""
+
+
+def q_topo_cyclic_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological sort on the CYCLIC mod graph: peeled layers must be a
+    valid, exact longest-path layering of the acyclic prefix, and the
+    excluded set must be precisely the non-peelable closure (every
+    excluded node keeps an in-edge from another excluded node). All four
+    violation counts computed Spark-side over the actual output."""
+    from .operators.dag import topological_sort
+
+    g = from_edge_df(edges_mod(spark, sf_dir))
+    m: dict = {}
+    out = topological_sort(g, metrics_out=m).localCheckpoint(eager=True)
+    e = g.edges.select("src", "dst").distinct()
+    lsrc = out.select(F.col("internal_id").alias("src"),
+                      F.col("layer").alias("l_src"))
+    ldst = out.select(F.col("internal_id").alias("dst"),
+                      F.col("layer").alias("l_dst"))
+    both = e.join(lsrc, "src").join(ldst, "dst")
+    v_order = both.filter(F.col("l_src") >= F.col("l_dst")).count()
+    # exact layer: layer(v) == coalesce(1 + max(in-layer among output), 0)
+    expected = (
+        out.join(
+            both.groupBy(F.col("dst").alias("internal_id"))
+            .agg((F.max("l_src") + 1).alias("exp")),
+            "internal_id", "left",
+        )
+        .filter(F.col("layer") != F.coalesce(F.col("exp"), F.lit(0)))
+        .count()
+    )
+    # no output node may have an in-edge from an excluded node
+    excluded = (
+        g.vertices.select(F.col("internal_id"))
+        .join(out.select("internal_id"), "internal_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    v_in_from_excl = (
+        e.join(excluded.select(F.col("internal_id").alias("src")), "src")
+        .join(out.select(F.col("internal_id").alias("dst")), "dst")
+        .count()
+    )
+    # every excluded node keeps an in-edge from an excluded node
+    v_excl_peelable = (
+        excluded.select(F.col("internal_id").alias("dst"))
+        .join(
+            e.join(
+                excluded.select(F.col("internal_id").alias("src")), "src"
+            ).select("dst").distinct(),
+            "dst", "left_anti",
+        )
+        .count()
+    )
+    n_out = out.count()
+    return spark.createDataFrame(
+        [(n_out + m["excluded_cyclic"], v_order, expected,
+          v_in_from_excl, v_excl_peelable)],
+        "nodes_total long, order_violations long, layer_violations long, "
+        "edges_excluded_to_output long, excluded_without_cyclic_in long",
+    )
+
+
+def sql_topo_cyclic_validity() -> str:
+    return f"""
+WITH
+{_mod_header()}
+SELECT CAST(COUNT(*) AS BIGINT) AS nodes_total,
+       CAST(0 AS BIGINT) AS order_violations,
+       CAST(0 AS BIGINT) AS layer_violations,
+       CAST(0 AS BIGINT) AS edges_excluded_to_output,
+       CAST(0 AS BIGINT) AS excluded_without_cyclic_in
+FROM nodes
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford on the signed 2-hop DAG
+# ---------------------------------------------------------------------------
+
+SQL_SIGNED_DAG = f"""
+SELECT o_custkey + {CUST_OFFSET} AS src, o_orderkey + {ORDER_OFFSET} AS dst,
+       (o_orderkey % 97) / 10.0 - 4.0 AS weight
+FROM orders
+UNION ALL
+SELECT DISTINCT l_orderkey + {ORDER_OFFSET} AS src, l_suppkey AS dst,
+       (l_suppkey % 53) / 10.0 - 2.0 AS weight
+FROM lineitem
+"""
+
+
+def edges_signed_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    e1 = orders.select(
+        (F.col("o_custkey") + CUST_OFFSET).alias("src"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst"),
+        (F.pmod(F.col("o_orderkey"), F.lit(97)) / 10.0 - 4.0).alias(
+            "weight"
+        ),
+    )
+    e2 = (
+        li.select(
+            (F.col("l_orderkey") + ORDER_OFFSET).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+        .select(
+            "src", "dst",
+            (F.pmod(F.col("dst"), F.lit(53)) / 10.0 - 2.0).alias("weight"),
+        )
+    )
+    return e1.unionByName(e2)
+
+
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dag import bellman_ford
+
+    g = from_edge_df(edges_signed_dag(spark, sf_dir), weight="weight")
+    src_orig = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.min("o_custkey"))
+        .collect()[0][0]
+        + CUST_OFFSET
+    )
+    src = int(
+        g.vertices.filter(
+            F.col("original_id").cast("long") == src_orig
+        ).collect()[0]["internal_id"]
+    )
+    m: dict = {}
+    dist = bellman_ford(g, src, metrics_out=m)
+    assert m["negative_cycle"] is False
+    return (
+        dist.join(g.vertices, "internal_id")
+        .select(
+            F.col("original_id").cast("long").alias("target"),
+            F.round("distance", 6).alias("distance"),
+        )
+    )
+
+
+def sql_bellman_ford() -> str:
+    return f"""
+WITH dag AS MATERIALIZED ({SQL_SIGNED_DAG}),
+c0 AS (SELECT MIN(src) AS s FROM dag WHERE src >= {CUST_OFFSET}),
+hop1 AS (SELECT d.dst AS o, d.weight AS w1 FROM dag d, c0
+         WHERE d.src = c0.s),
+t0 AS (SELECT s AS target, CAST(0 AS DOUBLE) AS d FROM c0),
+t1 AS (SELECT o AS target, w1 AS d FROM hop1),
+t2 AS (SELECT d.dst AS target, MIN(h.w1 + d.weight) AS d
+       FROM hop1 h JOIN dag d ON d.src = h.o GROUP BY d.dst)
+SELECT target, ROUND(d, 6) AS distance
+FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1 UNION ALL
+      SELECT * FROM t2)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conductance on the supplier→part graph, communities = original id % 7
+# ---------------------------------------------------------------------------
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conductance import conductance
+
+    g = _graph_sp(spark, sf_dir)
+    comm = g.vertices.select(
+        "internal_id",
+        F.pmod(F.col("original_id").cast("long"), F.lit(7)).alias(
+            "community"
+        ),
+    )
+    out = conductance(g, comm, broadcast_communities=True)
+    return out.select(
+        "community", F.round("conductance", 9).alias("conductance")
+    )
+
+
+def sql_conductance() -> str:
+    return f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_SP}),
+tagged AS (SELECT src % 7 AS c_src, dst % 7 AS c_dst FROM edges),
+agg AS (SELECT c_src AS community,
+        CAST(SUM(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) AS DOUBLE)
+          AS w_int,
+        CAST(SUM(CASE WHEN c_src != c_dst THEN 1 ELSE 0 END) AS DOUBLE)
+          AS w_ext
+        FROM tagged GROUP BY c_src)
+SELECT community,
+       ROUND(CASE WHEN w_int + w_ext > 0 THEN w_ext / (w_int + w_ext)
+             ELSE 0.0 END, 9) AS conductance
+FROM agg
+"""
+
+
+def ext2_queries() -> dict:
+    return {
+        "topological_sort": q_topological_sort,
+        "dag_longest_path": q_dag_longest_path,
+        "topo_cyclic_validity": q_topo_cyclic_validity,
+        "bellman_ford": q_bellman_ford,
+        "conductance": q_conductance,
+    }
+
+
+def ext2_oracle_sql() -> dict:
+    return {
+        "topological_sort": sql_topological_sort(),
+        "dag_longest_path": sql_dag_longest_path(),
+        "topo_cyclic_validity": sql_topo_cyclic_validity(),
+        "bellman_ford": sql_bellman_ford(),
+        "conductance": sql_conductance(),
+    }
