@@ -327,6 +327,132 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Link-graph web operators: deterministic messy-URL corpus from documents
+# ---------------------------------------------------------------------------
+# messy URL of doc d: uppercase scheme/host, default port on d%5==0,
+# trailing slash on d%4==0, tracking-polluted query by d%3, fragment on
+# d%7==0 — every branch is doc_id arithmetic, so BOTH engines construct
+# the same raw URL and the oracle derives the CANONICAL form
+# independently (direct arithmetic, not a regex replay).
+
+SQL_MESSY_URL = (
+    "'HTTP://S' || (doc_id % 23) || '.EXAMPLE.com' || "
+    "(CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) || "
+    "'/p/' || doc_id || "
+    "(CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1' "
+    " WHEN doc_id % 3 = 1 THEN '?z=9&fbclid=abc&a=1' ELSE '' END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+)
+
+SQL_CANON_URL = (
+    "'http://s' || (doc_id % 23) || '.example.com/p/' || doc_id || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' "
+    " WHEN doc_id % 3 = 1 THEN '?a=1&z=9' ELSE '' END)"
+)
+
+
+def _messy_url(d: F.Column) -> F.Column:
+    return F.concat(
+        F.lit("HTTP://S"), (d % 23).cast("string"), F.lit(".EXAMPLE.com"),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"), d.cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?z=9&fbclid=abc&a=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_normalize_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.webgraph import normalize_url
+
+    d = F.col("doc_id")
+    df = _docs(spark, sf_dir).select("doc_id", _messy_url(d).alias("url"))
+    return normalize_url(df, "url").select("doc_id", "url_norm")
+
+
+def sql_normalize_url() -> str:
+    return (
+        f"SELECT doc_id, {SQL_CANON_URL} AS url_norm FROM documents"
+    )
+
+
+def _links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_url, dst_url, anchor): doc d links to (d*7+j) % N, j in 1..3,
+    anchor 'w<(src+dst) % 13>'. Messy src/dst URLs."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    d = F.col("doc_id")
+    ex = docs.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias(
+            "j")
+    ).select(
+        "doc_id", F.pmod(d * 7 + F.col("j"), F.lit(n)).alias("dst_id")
+    )
+    return ex.select(
+        _messy_url(F.col("doc_id")).alias("src_url"),
+        _messy_url(F.col("dst_id")).alias("dst_url"),
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.col("doc_id") + F.col("dst_id"), F.lit(13)).cast(
+                "string"),
+        ).alias("anchor"),
+    )
+
+
+SQL_LINKS = """
+SELECT doc_id AS src_id, (doc_id * 7 + j.j) % (SELECT COUNT(*) FROM
+  documents) AS dst_id
+FROM documents, (SELECT UNNEST([1, 2, 3]) AS j) j
+"""
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.webgraph import host_graph
+
+    return host_graph(_links(spark, sf_dir))
+
+
+def sql_host_graph() -> str:
+    return f"""
+WITH links AS MATERIALIZED ({SQL_LINKS}),
+hosts AS (SELECT 's' || (src_id % 23) || '.example.com' AS src_host,
+                 's' || (dst_id % 23) || '.example.com' AS dst_host
+          FROM links)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight
+FROM hosts WHERE src_host != dst_host GROUP BY src_host, dst_host
+"""
+
+
+def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.webgraph import anchor_topk
+
+    return anchor_topk(_links(spark, sf_dir), k=2)
+
+
+def sql_anchor_topk() -> str:
+    # dst key is the raw (messy) dst_url the links carry
+    messy_dst = SQL_MESSY_URL.replace("doc_id", "dst_id")
+    return f"""
+WITH links AS MATERIALIZED ({SQL_LINKS}),
+counted AS (SELECT {messy_dst} AS dst,
+                   'w' || ((src_id + dst_id) % 13) AS anchor,
+                   CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM links GROUP BY 1, 2),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY dst
+             ORDER BY n_links DESC, anchor ASC) AS INT) AS rank
+           FROM counted)
+SELECT dst, anchor, n_links, rank FROM ranked WHERE rank <= 2
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -334,6 +460,9 @@ def ext2_queries() -> dict:
         "topo_cyclic_validity": q_topo_cyclic_validity,
         "bellman_ford": q_bellman_ford,
         "conductance": q_conductance,
+        "normalize_url": q_normalize_url,
+        "host_graph": q_host_graph,
+        "anchor_topk": q_anchor_topk,
     }
 
 
@@ -344,4 +473,7 @@ def ext2_oracle_sql() -> dict:
         "topo_cyclic_validity": sql_topo_cyclic_validity(),
         "bellman_ford": sql_bellman_ford(),
         "conductance": sql_conductance(),
+        "normalize_url": sql_normalize_url(),
+        "host_graph": sql_host_graph(),
+        "anchor_topk": sql_anchor_topk(),
     }
