@@ -453,6 +453,71 @@ SELECT dst, anchor, n_links, rank FROM ranked WHERE rank <= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# RWR graph sampling (exact oracle: portable-hash walk replay, one batch)
+# ---------------------------------------------------------------------------
+
+RWR_WALKS = 64
+RWR_LEN = 6
+RWR_GATE = 100_000  # restart_probability 0.1 in millionths
+
+
+def q_rwr_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-batch RWR sample with the portable md5 hash: every restart
+    decision and neighbor pick is a pure function of (walk_id, step), so
+    DuckDB replays all 64 walks and the sampled node set matches exactly.
+    Ids pinned to original suppkeys via the dense fast path."""
+    from .driver_contract_ext import _n_supp
+    from .graph import from_dense_edge_df
+    from .operators.graphsample import rwr_sample_nodes
+
+    e = edges_mod(spark, sf_dir)
+    ns = _n_supp(spark, sf_dir)
+    g = from_dense_edge_df(e, n_vertices=ns + 1)
+    nodes = rwr_sample_nodes(
+        g,
+        sampling_ratio=1.0,  # capped by max_batches: sample = batch 0
+        restart_probability=0.1,
+        start_nodes=[1],
+        walks_per_batch=RWR_WALKS,
+        walk_length=RWR_LEN,
+        max_batches=1,
+        base_hash="md5",
+    )
+    return nodes.select(F.col("internal_id").alias("id"))
+
+
+def sql_rwr_sample() -> str:
+    return f"""
+WITH RECURSIVE
+{_mod_header()},
+nbrs AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+  FROM edges),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM nbrs GROUP BY src),
+starts AS (SELECT 1 * {RWR_WALKS} + r.rep AS walk_id, 1 AS start
+           FROM UNNEST(range(0, {RWR_WALKS})) AS r(rep)),
+walk(walk_id, start, step, cur) AS (
+  SELECT walk_id, start, 0, start FROM starts
+  UNION ALL
+  SELECT w.walk_id, w.start, w.step + 1,
+         CASE WHEN ('0x' || substr(md5(w.walk_id::VARCHAR || '|' ||
+                    w.step::VARCHAR || '|42|r'), 1, 15))::BIGINT
+                   % 1000000 < {RWR_GATE}
+                   OR d.d IS NULL
+              THEN w.start ELSE n.dst END
+  FROM walk w
+  LEFT JOIN deg d ON d.src = w.cur
+  LEFT JOIN nbrs n ON n.src = w.cur
+   AND n.rk = ('0x' || substr(md5(w.walk_id::VARCHAR || '|' ||
+               w.step::VARCHAR || '|42|n'), 1, 15))::BIGINT % d.d
+  WHERE w.step < {RWR_LEN}
+)
+SELECT DISTINCT cur AS id FROM walk
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -463,6 +528,7 @@ def ext2_queries() -> dict:
         "normalize_url": q_normalize_url,
         "host_graph": q_host_graph,
         "anchor_topk": q_anchor_topk,
+        "rwr_sample": q_rwr_sample,
     }
 
 
@@ -476,4 +542,5 @@ def ext2_oracle_sql() -> dict:
         "normalize_url": sql_normalize_url(),
         "host_graph": sql_host_graph(),
         "anchor_topk": sql_anchor_topk(),
+        "rwr_sample": sql_rwr_sample(),
     }
