@@ -518,6 +518,67 @@ SELECT DISTINCT cur AS id FROM walk
 """
 
 
+# ---------------------------------------------------------------------------
+# Leiden (schedule-dependent assignment -> validity oracle: totality +
+# the Leiden guarantee itself, connectivity of every community)
+# ---------------------------------------------------------------------------
+
+
+def q_leiden_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden invariants computed over the actual output: every node in
+    exactly one community, ZERO internally-disconnected communities (the
+    guarantee that distinguishes Leiden from Louvain), and positive
+    modularity on the supplier→part graph."""
+    from .operators.leiden import _refine_connected, leiden
+    from .operators.louvain import _sym_edges
+
+    g = _graph_sp(spark, sf_dir)
+    res = leiden(g)
+    assign = res.assignment.localCheckpoint(eager=True)
+    totals = assign.agg(
+        F.count(F.lit(1)).alias("nodes_assigned"),
+        (F.count(F.lit(1)) - F.countDistinct("internal_id")).alias(
+            "duplicate_assignments"
+        ),
+    ).collect()[0]
+    refined = _refine_connected(
+        g.vertices.select(
+            "internal_id", F.col("internal_id").alias("original_id")
+        ),
+        _sym_edges(g),
+        assign,
+    )
+    disconnected = (
+        assign.join(refined, "internal_id")
+        .groupBy("community")
+        .agg(F.countDistinct("refined").alias("n_parts"))
+        .filter(F.col("n_parts") > 1)
+        .count()
+    )
+    return spark.createDataFrame(
+        [(
+            int(totals["nodes_assigned"]),
+            int(totals["duplicate_assignments"]),
+            int(disconnected),
+            bool(res.modularity > 0.0),
+        )],
+        "nodes_assigned long, duplicate_assignments long, "
+        "disconnected_communities long, q_positive boolean",
+    )
+
+
+def sql_leiden_validity() -> str:
+    return f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_SP}),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)
+SELECT CAST(COUNT(*) AS BIGINT) AS nodes_assigned,
+       CAST(0 AS BIGINT) AS duplicate_assignments,
+       CAST(0 AS BIGINT) AS disconnected_communities,
+       TRUE AS q_positive
+FROM nodes
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -529,6 +590,7 @@ def ext2_queries() -> dict:
         "host_graph": q_host_graph,
         "anchor_topk": q_anchor_topk,
         "rwr_sample": q_rwr_sample,
+        "leiden_validity": q_leiden_validity,
     }
 
 
@@ -543,4 +605,5 @@ def ext2_oracle_sql() -> dict:
         "host_graph": sql_host_graph(),
         "anchor_topk": sql_anchor_topk(),
         "rwr_sample": sql_rwr_sample(),
+        "leiden_validity": sql_leiden_validity(),
     }

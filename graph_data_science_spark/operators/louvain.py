@@ -89,7 +89,11 @@ def modularity_optimization(
     max_iterations: int = 10,
     tolerance: float = 1e-4,
     seed_assignment: DataFrame | None = None,
+    gamma: float = 1.0,
 ) -> ModularityResult:
+    """``gamma``: resolution parameter (CPM-style scaling of the null
+    model term; 1.0 = classic modularity — larger values favor more,
+    smaller communities). Used by :mod:`.leiden`."""
     sym = _sym_edges(graph).localCheckpoint(eager=True)
     m2 = sym.agg(F.sum("weight")).collect()[0][0] or 1.0
     deg = sym.groupBy(F.col("src").alias("internal_id")).agg(
@@ -149,8 +153,9 @@ def modularity_optimization(
             .join(own, "internal_id")
             .join(deg, "internal_id")
         )
-        # gain ∝ kic - deg_i * tot'_c / m2, tot' excludes i when c == own
-        gain = F.col("kic") - F.col("deg") * (
+        # gain ∝ kic - gamma * deg_i * tot'_c / m2, tot' excludes i when
+        # c == own
+        gain = F.col("kic") - F.lit(gamma) * F.col("deg") * (
             F.col("tot")
             - F.when(F.col("c") == F.col("own_c"), F.col("deg")).otherwise(0.0)
         ) / F.lit(m2)
