@@ -265,6 +265,43 @@ def _estimators() -> dict:
             ("candidate wedge pairs (capped)", 0, n * cand * 24),
         ])
 
+    def topological_sort(n, m, c):
+        return _tree("topological_sort", [
+            ("live node / layer tables", 2 * 8 * n, 3 * 8 * n),
+            ("live edges (shrinking per round)", m * 16, m * 24),
+            ("per-round in-degree agg", 0, m * _MSG),
+        ])
+
+    def bellman_ford(n, m, c):
+        return _tree("bellman_ford", [
+            ("distance table (current + merged)", 2 * 16 * n, 2 * 16 * n),
+            ("frontier relaxation messages", 0, m * _MSG),
+        ])
+
+    def conductance(n, m, c):
+        return _tree("conductance", [
+            ("community map (broadcast)", 16 * n, 16 * n),
+            ("tagged edge scan (streaming agg)", 0, m * 8),
+        ])
+
+    def leiden(n, m, c):
+        levels = c.get("max_levels", 10)
+        return _tree("leiden", [
+            ("symmetrized weighted edges", 2 * m * 24, 2 * m * 24),
+            ("assignment + refined maps", 3 * 8 * n, 4 * 8 * n),
+            ("kic/ctot per sweep", 0, 2 * m * _MSG),
+            ("per-level WCC refinement", 8 * n, levels * 8 * n),
+        ])
+
+    def rwr_sample(n, m, c):
+        walks = c.get("walks_per_batch", 128) * c.get("max_batches", 64)
+        length = c.get("walk_length", 8)
+        return _tree("rwr_sample", [
+            ("sorted adjacency lists", m * 8 + n * 8, m * 8 + n * 8),
+            ("walk frontier rows", walks * 24, walks * 24),
+            ("visited accumulator", 8 * 1024, 8 * min(n, walks * length)),
+        ])
+
     return {
         "pagerank": pagerank, "article_rank": pagerank,
         "eigenvector": pagerank, "wcc": wcc,
@@ -276,6 +313,10 @@ def _estimators() -> dict:
         "sssp": sssp, "dijkstra": sssp, "scc": scc,
         "k1coloring": k1coloring, "kcore": kcore, "hits": hits, "knn": knn,
         "all_shortest_paths": all_shortest_paths,
+        "topological_sort": topological_sort,
+        "dag_longest_path": topological_sort,
+        "bellman_ford": bellman_ford, "conductance": conductance,
+        "leiden": leiden, "rwr_sample": rwr_sample,
         "pregel": pregel, "graphsage": graphsage,
         "node_classification": node_classification,
         "link_prediction": link_prediction,
