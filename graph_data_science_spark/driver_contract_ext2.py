@@ -579,6 +579,86 @@ FROM nodes
 """
 
 
+# ---------------------------------------------------------------------------
+# Steiner tree on the 2-hop DAG (exact: tree = union of predecessor-tree
+# paths, replayed with the same min-cost/min-id pick as sql_dijkstra_path)
+# ---------------------------------------------------------------------------
+
+
+def q_steiner_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract_ext import _graph_dag
+    from .operators.steiner import steiner_tree
+
+    g = _graph_dag(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    c0 = int(orders.agg(F.min("o_custkey")).collect()[0][0])
+    targets = [
+        int(r["l_suppkey"])
+        for r in orders.filter(F.col("o_custkey") == c0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .join(li.select("l_orderkey", "l_suppkey"), "l_orderkey")
+        .select("l_suppkey")
+        .distinct()
+        .orderBy("l_suppkey")
+        .limit(3)
+        .collect()
+    ]
+    idmap = {
+        int(r["original_id"]): int(r["internal_id"])
+        for r in g.vertices.filter(
+            F.col("original_id")
+            .cast("long")
+            .isin([c0 + CUST_OFFSET] + targets)
+        ).collect()
+    }
+    tree = steiner_tree(
+        g, idmap[c0 + CUST_OFFSET], [idmap[t] for t in targets]
+    )
+    vm = g.vertices.select(
+        F.col("internal_id"), F.col("original_id").cast("long").alias("id")
+    )
+    pm = g.vertices.select(
+        F.col("internal_id").alias("parent"),
+        F.col("original_id").cast("long").alias("parent_id"),
+    )
+    return (
+        tree.join(vm, "internal_id")
+        .join(pm, "parent")
+        .select("id", "parent_id", F.round("weight", 6).alias("weight"))
+    )
+
+
+def sql_steiner_tree() -> str:
+    from .driver_contract_ext import SQL_DAG_EDGES
+
+    return f"""
+WITH dag AS MATERIALIZED ({SQL_DAG_EDGES}),
+c0 AS (SELECT MIN(src) AS s FROM dag WHERE src >= {CUST_OFFSET}),
+hop1 AS (SELECT d.dst AS o, d.weight AS w1 FROM dag d, c0
+         WHERE d.src = c0.s),
+hop2 AS (SELECT h.o, h.w1, d.dst AS sup, h.w1 + d.weight AS cost
+         FROM hop1 h JOIN dag d ON d.src = h.o),
+targets AS (SELECT DISTINCT sup FROM hop2 ORDER BY sup LIMIT 3),
+best AS (SELECT sup, MIN(cost) AS cost FROM hop2
+         WHERE sup IN (SELECT sup FROM targets) GROUP BY sup),
+pick AS (SELECT h.sup, b.cost, MIN(h.o) AS via
+         FROM hop2 h JOIN best b ON b.sup = h.sup AND h.cost = b.cost
+         GROUP BY h.sup, b.cost),
+rows AS (
+  SELECT s AS id, s AS parent_id, CAST(0 AS DOUBLE) AS weight FROM c0
+  UNION ALL
+  SELECT DISTINCT via AS id, (SELECT s FROM c0) AS parent_id,
+         1.0 + ((via - {ORDER_OFFSET}) % 97) / 10.0 AS weight
+  FROM pick
+  UNION ALL
+  SELECT sup AS id, via AS parent_id,
+         1.0 + (sup % 53) / 10.0 AS weight
+  FROM pick)
+SELECT id, parent_id, ROUND(weight, 6) AS weight FROM rows
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -591,6 +671,7 @@ def ext2_queries() -> dict:
         "anchor_topk": q_anchor_topk,
         "rwr_sample": q_rwr_sample,
         "leiden_validity": q_leiden_validity,
+        "steiner_tree": q_steiner_tree,
     }
 
 
@@ -606,4 +687,5 @@ def ext2_oracle_sql() -> dict:
         "anchor_topk": sql_anchor_topk(),
         "rwr_sample": sql_rwr_sample(),
         "leiden_validity": sql_leiden_validity(),
+        "steiner_tree": sql_steiner_tree(),
     }
