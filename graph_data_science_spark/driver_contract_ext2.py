@@ -659,6 +659,66 @@ SELECT id, parent_id, ROUND(weight, 6) AS weight FROM rows
 """
 
 
+# ---------------------------------------------------------------------------
+# SALSA on the mod graph (exact: unrolled power-iteration CTEs, the same
+# pattern as the HITS oracle)
+# ---------------------------------------------------------------------------
+
+SALSA_ITERS = 4
+
+
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract import _to_original
+    from .driver_contract_ext import _graph_mod
+    from .operators.salsa import salsa
+
+    g = _graph_mod(spark, sf_dir)
+    out = salsa(g, max_iterations=SALSA_ITERS).scores
+    out = _to_original(out, g.vertices, "internal_id", "id")
+    return out.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+def sql_salsa() -> str:
+    # mirrors operators/salsa.py exactly: L1-preserving alternating
+    # stochastic chains, no normalization pass
+    ctes = [
+        _mod_header(),
+        "od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od "
+        "FROM edges GROUP BY src)",
+        "idg AS MATERIALIZED (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS idg "
+        "FROM edges GROUP BY dst)",
+        "h0 AS (SELECT src AS id, 1.0 / (SELECT COUNT(*) FROM od) AS hub "
+        "FROM od)",
+    ]
+    for k in range(1, SALSA_ITERS + 1):
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"SUM(h.hub / o.od) AS auth FROM edges e "
+            f"JOIN od o ON o.src = e.src "
+            f"JOIN h{k - 1} h ON h.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT e.src AS id, "
+            f"SUM(a.auth / i.idg) AS hub FROM edges e "
+            f"JOIN idg i ON i.dst = e.dst "
+            f"JOIN a{k} a ON a.id = e.dst GROUP BY e.src)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT n.id, ROUND(COALESCE(h.hub, 0), 6) AS hub,
+       ROUND(COALESCE(a.auth, 0), 6) AS auth
+FROM nodes n
+LEFT JOIN h{SALSA_ITERS} h ON h.id = n.id
+LEFT JOIN a{SALSA_ITERS} a ON a.id = n.id
+"""
+    )
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -672,6 +732,7 @@ def ext2_queries() -> dict:
         "rwr_sample": q_rwr_sample,
         "leiden_validity": q_leiden_validity,
         "steiner_tree": q_steiner_tree,
+        "salsa": q_salsa,
     }
 
 
@@ -688,4 +749,5 @@ def ext2_oracle_sql() -> dict:
         "rwr_sample": sql_rwr_sample(),
         "leiden_validity": sql_leiden_validity(),
         "steiner_tree": sql_steiner_tree(),
+        "salsa": sql_salsa(),
     }
