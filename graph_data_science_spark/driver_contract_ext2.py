@@ -719,6 +719,85 @@ LEFT JOIN a{SALSA_ITERS} a ON a.id = n.id
     )
 
 
+# ---------------------------------------------------------------------------
+# Heavy hitters over the corpus token stream
+# ---------------------------------------------------------------------------
+
+HH_K = 20
+HH_CAP = 64
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("item"))
+        .filter(F.col("item") != "")
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.heavyhitters import heavy_hitters
+
+    return heavy_hitters(_doc_tokens(spark, sf_dir), "item", k=HH_K)
+
+
+def sql_heavy_hitters() -> str:
+    return f"""
+WITH toks AS (SELECT t.item FROM documents,
+  UNNEST(string_split(text, ' ')) AS t(item) WHERE t.item != '')
+SELECT item, CAST(COUNT(*) AS BIGINT) AS est_count
+FROM toks GROUP BY item
+ORDER BY est_count DESC, item ASC LIMIT {HH_K}
+"""
+
+
+def q_heavy_hitters_mg_validity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Misra-Gries merge-theorem guarantees checked against exact counts
+    computed over the same token stream: every estimate is a lower bound
+    within n/capacity of the truth, and every item with true frequency
+    > n/capacity is present. ``n_guaranteed`` is replayed exactly by the
+    oracle (it depends only on the data, not on partitioning)."""
+    from .pipeline.heavyhitters import heavy_hitters
+
+    toks = _doc_tokens(spark, sf_dir)
+    n = toks.count()
+    # k = capacity here: presence is guaranteed in the merged SUMMARY;
+    # a k smaller than the above-threshold item count would cut
+    # guaranteed items at the final top-k (the word-soup corpus has ~30
+    # words above n/64)
+    mg = heavy_hitters(
+        toks, "item", k=HH_CAP, exact=False, capacity=HH_CAP
+    ).localCheckpoint(eager=True)
+    true = toks.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = mg.join(true, "item")
+    bound_violations = joined.filter(
+        (F.col("est_count") > F.col("cnt"))
+        | (F.col("cnt") - F.col("est_count") > n / HH_CAP)
+    ).count()
+    guaranteed = true.filter(F.col("cnt") > n / HH_CAP)
+    n_guaranteed = guaranteed.count()
+    present = guaranteed.join(mg, "item").count()
+    return spark.createDataFrame(
+        [(n_guaranteed, n_guaranteed - present, bound_violations)],
+        "n_guaranteed long, presence_violations long, bound_violations long",
+    )
+
+
+def sql_heavy_hitters_mg_validity() -> str:
+    return f"""
+WITH toks AS (SELECT t.item FROM documents,
+  UNNEST(string_split(text, ' ')) AS t(item) WHERE t.item != ''),
+n AS (SELECT COUNT(*) AS n FROM toks),
+true_counts AS (SELECT item, COUNT(*) AS cnt FROM toks GROUP BY item)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_guaranteed,
+       CAST(0 AS BIGINT) AS presence_violations,
+       CAST(0 AS BIGINT) AS bound_violations
+FROM true_counts, n WHERE cnt > n.n / {HH_CAP}.0
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -733,6 +812,8 @@ def ext2_queries() -> dict:
         "leiden_validity": q_leiden_validity,
         "steiner_tree": q_steiner_tree,
         "salsa": q_salsa,
+        "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_mg_validity": q_heavy_hitters_mg_validity,
     }
 
 
@@ -750,4 +831,6 @@ def ext2_oracle_sql() -> dict:
         "leiden_validity": sql_leiden_validity(),
         "steiner_tree": sql_steiner_tree(),
         "salsa": sql_salsa(),
+        "heavy_hitters": sql_heavy_hitters(),
+        "heavy_hitters_mg_validity": sql_heavy_hitters_mg_validity(),
     }
