@@ -798,6 +798,87 @@ FROM true_counts, n WHERE cnt > n.n / {HH_CAP}.0
 """
 
 
+# ---------------------------------------------------------------------------
+# HashGNN on the mod graph (exact: every min-hash selection replayed)
+# ---------------------------------------------------------------------------
+
+HGNN_DIM = 32
+HGNN_DENSITY = 3
+HGNN_ITERS = 2
+
+
+def q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract_ext import _n_supp
+    from .graph import from_dense_edge_df
+    from .operators.hashgnn import hashgnn
+
+    e = edges_mod(spark, sf_dir)
+    ns = _n_supp(spark, sf_dir)
+    g = from_dense_edge_df(e, n_vertices=ns + 1)
+    # restrict the vertex set to actual graph nodes (dense range includes
+    # id 0 / absent ids whose hash-features would be orphans)
+    nodes = (
+        e.select(F.col("src").alias("internal_id"))
+        .unionAll(e.select(F.col("dst").alias("internal_id")))
+        .distinct()
+    )
+    g.vertices = nodes.select(
+        "internal_id", F.col("internal_id").alias("original_id")
+    )
+    out = hashgnn(
+        g, dimension=HGNN_DIM, density=HGNN_DENSITY,
+        iterations=HGNN_ITERS,
+    )
+    return out.select(F.col("internal_id").alias("id"), "embedding")
+
+
+def _sql_hkey(parts: str) -> str:
+    return f"('0x' || substr(md5({parts}), 1, 15))::BIGINT"
+
+
+def sql_hashgnn() -> str:
+    ctes = [
+        _mod_header(),
+        f"slots AS (SELECT UNNEST(range(0, {HGNN_DENSITY})) AS s)",
+        "b0 AS MATERIALIZED (SELECT DISTINCT n.id, CAST("
+        + _sql_hkey("n.id::VARCHAR || '|' || j.j::VARCHAR || '|init|42'")
+        + f" % {HGNN_DIM} AS INT) AS bit "
+        f"FROM nodes n, (SELECT UNNEST(range(0, {HGNN_DENSITY})) AS j) j)",
+    ]
+    for t in range(1, HGNN_ITERS + 1):
+        p = f"b{t - 1}"
+        ctes.append(
+            f"nb{t} AS (SELECT DISTINCT e.dst AS id, b.bit "
+            f"FROM edges e JOIN {p} b ON b.id = e.src)"
+        )
+        k_self = _sql_hkey(
+            f"'{t}|' || s.s::VARCHAR || '|' || c.bit::VARCHAR "
+            "|| '|self|42'"
+        )
+        k_nbr = _sql_hkey(
+            f"'{t}|' || s.s::VARCHAR || '|' || c.bit::VARCHAR "
+            "|| '|nbr|42'"
+        )
+        ctes.append(
+            f"cand{t} AS (SELECT c.id, s.s, c.bit, {k_self} AS k "
+            f"FROM {p} c, slots s "
+            f"UNION ALL SELECT c.id, s.s, c.bit, {k_nbr} AS k "
+            f"FROM nb{t} c, slots s)"
+        )
+        ctes.append(
+            f"b{t} AS MATERIALIZED (SELECT DISTINCT id, bit FROM ("
+            f"SELECT id, s, bit, ROW_NUMBER() OVER (PARTITION BY id, s "
+            f"ORDER BY k, bit) AS rn FROM cand{t}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, list(bit ORDER BY bit) AS embedding
+FROM b{HGNN_ITERS} GROUP BY id
+"""
+    )
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -814,6 +895,7 @@ def ext2_queries() -> dict:
         "salsa": q_salsa,
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_mg_validity": q_heavy_hitters_mg_validity,
+        "hashgnn": q_hashgnn,
     }
 
 
@@ -833,4 +915,5 @@ def ext2_oracle_sql() -> dict:
         "salsa": sql_salsa(),
         "heavy_hitters": sql_heavy_hitters(),
         "heavy_hitters_mg_validity": sql_heavy_hitters_mg_validity(),
+        "hashgnn": sql_hashgnn(),
     }

@@ -293,6 +293,15 @@ def _estimators() -> dict:
             ("per-level WCC refinement", 8 * n, levels * 8 * n),
         ])
 
+    def hashgnn(n, m, c):
+        density = c.get("density", 4)
+        return _tree("hashgnn", [
+            ("active-bit sets (current + next)", 2 * n * density * 12,
+             2 * n * density * 12),
+            ("per-iteration keyed candidates",
+             0, (n + m) * density * 20),
+        ])
+
     def rwr_sample(n, m, c):
         walks = c.get("walks_per_batch", 128) * c.get("max_batches", 64)
         length = c.get("walk_length", 8)
@@ -316,7 +325,7 @@ def _estimators() -> dict:
         "topological_sort": topological_sort,
         "dag_longest_path": topological_sort,
         "bellman_ford": bellman_ford, "conductance": conductance,
-        "leiden": leiden, "rwr_sample": rwr_sample,
+        "leiden": leiden, "rwr_sample": rwr_sample, "hashgnn": hashgnn,
         "pregel": pregel, "graphsage": graphsage,
         "node_classification": node_classification,
         "link_prediction": link_prediction,
