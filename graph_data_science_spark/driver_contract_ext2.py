@@ -879,6 +879,92 @@ FROM b{HGNN_ITERS} GROUP BY id
     )
 
 
+# ---------------------------------------------------------------------------
+# SLLPA on the mod graph (exact: every speaker draw + listener mode
+# replayed — the exponential-race keys are pure md5 arithmetic)
+# ---------------------------------------------------------------------------
+
+SLLPA_ITERS = 4
+SLLPA_THRESHOLD = 0.2
+_SQL_U01_SCALE = "1152921504606846976.0"  # 2^60
+
+
+def q_sllpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract_ext import _n_supp
+    from .graph import from_dense_edge_df
+    from .operators.sllpa import sllpa
+
+    e = edges_mod(spark, sf_dir)
+    ns = _n_supp(spark, sf_dir)
+    g = from_dense_edge_df(e, n_vertices=ns + 1)
+    nodes = (
+        e.select(F.col("src").alias("internal_id"))
+        .unionAll(e.select(F.col("dst").alias("internal_id")))
+        .distinct()
+    )
+    g.vertices = nodes.select(
+        "internal_id", F.col("internal_id").alias("original_id")
+    )
+    out = sllpa(
+        g, max_iterations=SLLPA_ITERS, threshold=SLLPA_THRESHOLD
+    )
+    return out.select(F.col("internal_id").alias("id"), "community")
+
+
+def sql_sllpa() -> str:
+    def u01(parts: str) -> str:
+        return (
+            f"((('0x' || substr(md5({parts}), 1, 15))::BIGINT::DOUBLE "
+            f"+ 1.0) / {_SQL_U01_SCALE})"
+        )
+
+    ctes = [
+        _mod_header(),
+        "sedges AS MATERIALIZED (SELECT src, dst, "
+        "src::VARCHAR || ':' || dst::VARCHAR AS eid "
+        "FROM edges WHERE src != dst)",
+        "m0 AS (SELECT id, id AS label, 1 AS cnt FROM nodes)",
+    ]
+    for t in range(1, SLLPA_ITERS + 1):
+        race = u01(
+            f"'{t}|' || e.eid || '|' || m.label::VARCHAR || '|42'"
+        )
+        ctes.append(
+            f"sp{t} AS (SELECT e.dst, e.eid, m.label, "
+            f"{race} / m.cnt AS race "
+            f"FROM sedges e JOIN m{t - 1} m ON m.id = e.src)"
+        )
+        ctes.append(
+            f"pk{t} AS (SELECT dst, label FROM ("
+            f"SELECT dst, eid, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY dst, eid ORDER BY race, label) AS rn "
+            f"FROM sp{t}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"hd{t} AS (SELECT dst AS id, label FROM ("
+            f"SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst "
+            f"ORDER BY COUNT(*) DESC, label) AS rn "
+            f"FROM pk{t} GROUP BY dst, label) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT id, label, "
+            f"CAST(SUM(cnt) AS INT) AS cnt FROM ("
+            f"SELECT id, label, cnt FROM m{t - 1} "
+            f"UNION ALL SELECT id, label, 1 FROM hd{t}) "
+            f"GROUP BY id, label)"
+        )
+    last = f"m{SLLPA_ITERS}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+, totals AS (SELECT id, SUM(cnt) AS total FROM {last} GROUP BY id)
+SELECT m.id, m.label AS community
+FROM {last} m JOIN totals t ON t.id = m.id
+WHERE m.cnt >= CAST(CEIL({SLLPA_THRESHOLD} * t.total) AS INT)
+"""
+    )
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -896,6 +982,7 @@ def ext2_queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_mg_validity": q_heavy_hitters_mg_validity,
         "hashgnn": q_hashgnn,
+        "sllpa": q_sllpa,
     }
 
 
@@ -916,4 +1003,5 @@ def ext2_oracle_sql() -> dict:
         "heavy_hitters": sql_heavy_hitters(),
         "heavy_hitters_mg_validity": sql_heavy_hitters_mg_validity(),
         "hashgnn": sql_hashgnn(),
+        "sllpa": sql_sllpa(),
     }

@@ -302,6 +302,14 @@ def _estimators() -> dict:
              0, (n + m) * density * 20),
         ])
 
+    def sllpa(n, m, c):
+        iters = c.get("max_iterations", 10)
+        return _tree("sllpa", [
+            ("label memories (grow 1 label/round heard)",
+             n * 16, n * (1 + iters) * 16),
+            ("per-round spoken labels", 0, m * (1 + iters) * 24),
+        ])
+
     def rwr_sample(n, m, c):
         walks = c.get("walks_per_batch", 128) * c.get("max_batches", 64)
         length = c.get("walk_length", 8)
@@ -326,6 +334,7 @@ def _estimators() -> dict:
         "dag_longest_path": topological_sort,
         "bellman_ford": bellman_ford, "conductance": conductance,
         "leiden": leiden, "rwr_sample": rwr_sample, "hashgnn": hashgnn,
+        "sllpa": sllpa,
         "pregel": pregel, "graphsage": graphsage,
         "node_classification": node_classification,
         "link_prediction": link_prediction,
