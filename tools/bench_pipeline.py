@@ -356,6 +356,57 @@ def main() -> None:
         lambda: force(quantize_embeddings(emb), "scale"),
     )
 
+    # web link-graph ops over a synthetic messy crawl (3 links/doc)
+    from graph_data_science_spark.pipeline.heavyhitters import heavy_hitters
+    from graph_data_science_spark.pipeline.webgraph import (
+        anchor_topk,
+        host_graph,
+        normalize_url,
+    )
+
+    d = F.col("doc_id")
+
+    def messy(col):
+        return F.concat(
+            F.lit("HTTP://Host"), (col % 9973).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(col % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/p/"), col.cast("string"),
+            F.when(col % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+            .otherwise(F.lit("")),
+            F.when(col % 7 == 0, F.lit("#f")).otherwise(F.lit("")),
+        )
+
+    links = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            messy(d).alias("src_url"),
+            messy((d * 7 + F.col("j")) % n_docs).alias("dst_url"),
+            F.concat(
+                F.lit("a"), ((d + F.col("j")) % 5000).cast("string")
+            ).alias("anchor"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    timed(
+        "normalize_url",
+        lambda: force(normalize_url(links, "src_url"), "url_norm"),
+    )
+    timed("host_graph", lambda: force(host_graph(links), "weight"))
+    timed(
+        "anchor_topk", lambda: force(anchor_topk(links, k=3), "n_links")
+    )
+    timed(
+        "heavy_hitters_mg",
+        lambda: heavy_hitters(
+            links.select(F.col("anchor").alias("item")), "item",
+            k=100, exact=False,
+        ).count(),
+    )
+
     per_op = {
         k: {
             "sec": v,
