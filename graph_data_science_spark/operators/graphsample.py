@@ -54,6 +54,7 @@ def rwr_sample_nodes(
     walks_per_batch: int = 128,
     walk_length: int = 8,
     max_batches: int = 64,
+    stall_batches: int = 2,
     seed: int = 42,
     base_hash: str = "xxhash64",
     metrics_out: dict | None = None,
@@ -62,6 +63,13 @@ def rwr_sample_nodes(
     visited set of whole batches, so it may slightly overshoot the
     budget (documented divergence from GDS's per-node stop — batch
     granularity is what makes the run deterministic AND distributed).
+
+    On DIRECTED graphs the forward-reachable closure of the start set
+    can be smaller than the budget; ``stall_batches`` consecutive
+    batches adding zero new nodes stop the loop early
+    (``metrics_out["stalled"] = True``) instead of spinning to
+    ``max_batches``. Spread ``start_nodes`` across the graph when
+    sampling large fractions of a directed graph.
     """
     spark = graph.spark
     n = graph.vertices.count()
@@ -96,8 +104,10 @@ def rwr_sample_nodes(
         F.col("start").alias("internal_id")
     ).distinct().localCheckpoint(eager=True)
     batches = 0
+    stalled = 0
     count = visited.count()
-    while count < target and batches < max_batches:
+    while count < target and batches < max_batches and \
+            stalled < stall_batches:
         base = batches * walks_per_batch
         walks = (
             starts_df.crossJoin(
@@ -148,12 +158,15 @@ def rwr_sample_nodes(
             visited.unionAll(batch_visited).distinct(), batches + 1,
             every=4,
         )
-        count = visited.count()
+        new_count = visited.count()
+        stalled = stalled + 1 if new_count == count else 0
+        count = new_count
         batches += 1
     if metrics_out is not None:
         metrics_out["batches"] = batches
         metrics_out["sampled"] = count
         metrics_out["target"] = target
+        metrics_out["stalled"] = stalled >= stall_batches
     return visited
 
 

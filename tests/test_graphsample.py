@@ -61,6 +61,25 @@ def test_rwr_induced_subgraph(spark):
     assert {(e.src, e.dst) for e in sub.edges.collect()} <= parent
 
 
+def test_rwr_stalls_on_unreachable_budget(spark):
+    # directed chain 0->1->2; forward reach of 0 is 3 nodes but the
+    # budget asks for 5: the stall guard must stop early, not spin to
+    # max_batches
+    g = from_edge_list(
+        spark,
+        [("0", "1"), ("1", "2")],
+        node_ids=["0", "1", "2", "7", "8", "9"],
+    )
+    m = {}
+    out = rwr_sample_nodes(
+        g, sampling_ratio=0.9, start_nodes=[0], max_batches=50,
+        walks_per_batch=8, walk_length=4, metrics_out=m,
+    )
+    assert out.count() == 3
+    assert m["stalled"] is True
+    assert m["batches"] < 10
+
+
 def test_rwr_portable_hash_matches_semantics(spark):
     g = _ring(spark)
     s_md5 = {
