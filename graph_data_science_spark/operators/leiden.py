@@ -34,7 +34,14 @@ invariant holds unconditionally: **every community is connected**.
 
 Scale shape: everything is the Louvain machinery (per-sweep kic/ctot
 aggregations + struct-argmax) plus one WCC per level over edges that
-shrink every level; all loops truncate plans via ``loop_checkpoint``.
+shrink every level. Per-level frames checkpoint with
+``fresh_local_checkpoint`` (stats RESET, not plain ``localCheckpoint``):
+each level multiplies inherited ``sizeInBytes`` estimates through
+several joins, so by level 3 on a 100k-node graph the plain-checkpoint
+stats are astronomically-large BigIntegers and the driver spends
+minutes per planning step in ``BigInteger.multiply`` (diagnosed with a
+thread dump; the loop-iteration reset of ``loop_checkpoint`` never
+fires within ``max_levels`` ≤ 10 levels).
 """
 
 from __future__ import annotations
@@ -44,7 +51,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
-from ..plans.checkpoint import loop_checkpoint
+from ..plans.checkpoint import fresh_local_checkpoint
 from .louvain import _sym_edges, modularity, modularity_optimization
 from .wcc import wcc
 
@@ -109,18 +116,17 @@ def leiden(
             gamma=gamma,
         )
         levels += 1
-        refined = _refine_connected(
-            cur_vertices, cur_sym, res.assignment
-        ).localCheckpoint(eager=True)
+        refined = fresh_local_checkpoint(
+            _refine_connected(cur_vertices, cur_sym, res.assignment)
+        )
         # compose: original node -> current aggregated node -> refined
-        mapping = loop_checkpoint(
+        mapping = fresh_local_checkpoint(
             mapping.join(
                 refined.withColumnsRenamed(
                     {"internal_id": "community", "refined": "new_c"}
                 ),
                 "community",
-            ).select("internal_id", F.col("new_c").alias("community")),
-            levels,
+            ).select("internal_id", F.col("new_c").alias("community"))
         )
         q = modularity(cur_sym, refined.withColumnRenamed(
             "refined", "community"))
@@ -137,28 +143,25 @@ def leiden(
         b = refined.select(
             F.col("internal_id").alias("dst"), F.col("refined").alias("rd")
         )
-        cur_sym = loop_checkpoint(
+        cur_sym = fresh_local_checkpoint(
             cur_sym.join(a, "src")
             .join(b, "dst")
             .groupBy(F.col("rs").alias("src"), F.col("rd").alias("dst"))
-            .agg(F.sum("weight").alias("weight")),
-            levels,
+            .agg(F.sum("weight").alias("weight"))
         )
-        cur_vertices = loop_checkpoint(
+        cur_vertices = fresh_local_checkpoint(
             refined.select(F.col("refined").alias("internal_id"))
             .distinct()
             .select(
                 "internal_id", F.col("internal_id").alias("original_id")
-            ),
-            levels,
+            )
         )
         # Leiden seeding: each refined community starts in the community
         # local moving had assigned its nodes to (they all share one).
-        seed = loop_checkpoint(
+        seed = fresh_local_checkpoint(
             refined.join(res.assignment, "internal_id")
             .groupBy(F.col("refined").alias("internal_id"))
-            .agg(F.min("community").alias("community")),
-            levels,
+            .agg(F.min("community").alias("community"))
         )
     return LeidenResult(
         assignment=mapping, modularity=last_q, levels=levels

@@ -60,10 +60,12 @@ def main() -> None:
     extras: dict[str, int] = {}
 
     def timed(name, fn):
+        print(f"[bench] start {name}", flush=True)
         t0 = time.monotonic()
         out = fn()
         timings[name] = round(time.monotonic() - t0, 3)
         extras[name] = out
+        print(f"[bench] done {name} {timings[name]}s", flush=True)
 
     timed("salsa_10it", lambda: salsa(g, max_iterations=10).scores.count())
     timed(
