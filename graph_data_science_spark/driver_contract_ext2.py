@@ -965,6 +965,42 @@ WHERE m.cnt >= CAST(CEIL({SLLPA_THRESHOLD} * t.total) AS INT)
     )
 
 
+# ---------------------------------------------------------------------------
+# Hashed TF-IDF vectors (exact: every sparse (doc, bucket, weight) row)
+# ---------------------------------------------------------------------------
+
+TFIDF_DIM = 128
+
+
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import tfidf_vectors
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = tfidf_vectors(docs, dim=TFIDF_DIM, base_hash="md5")
+    return out.select(
+        "doc_id", "bucket", F.round("weight", 6).alias("weight")
+    )
+
+
+def sql_tfidf_vectors() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t.term), 1, 15))::BIGINT % {TFIDF_DIM}
+              AS INT) AS bucket
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+'))
+       AS t(term)
+  WHERE t.term != ''),
+tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM toks
+       GROUP BY doc_id, bucket),
+dfb AS (SELECT bucket, COUNT(*) AS df FROM tf GROUP BY bucket),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT t.doc_id, t.bucket,
+       ROUND(t.tf * (LN((1 + n.n) / (1.0 + d.df)) + 1), 6) AS weight
+FROM tf t JOIN dfb d ON d.bucket = t.bucket, n
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -983,6 +1019,7 @@ def ext2_queries() -> dict:
         "heavy_hitters_mg_validity": q_heavy_hitters_mg_validity,
         "hashgnn": q_hashgnn,
         "sllpa": q_sllpa,
+        "tfidf_vectors": q_tfidf_vectors,
     }
 
 
@@ -1004,4 +1041,5 @@ def ext2_oracle_sql() -> dict:
         "heavy_hitters_mg_validity": sql_heavy_hitters_mg_validity(),
         "hashgnn": sql_hashgnn(),
         "sllpa": sql_sllpa(),
+        "tfidf_vectors": sql_tfidf_vectors(),
     }

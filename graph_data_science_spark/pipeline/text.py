@@ -1333,3 +1333,83 @@ def chunk_documents(
     if drop_empty:
         out = out.filter(F.trim(F.col("chunk_text")) != "")
     return out
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    dim: int = 256,
+    *,
+    text_col: str = "text",
+    base_hash: str = "md5",
+    l2_normalize: bool = False,
+) -> DataFrame:
+    """Hashed TF-IDF document vectors as SPARSE rows
+    (doc_id, bucket int, weight double) — the feature-hashing trick
+    (Weinberger et al. 2009) that bridges the text pipeline into the
+    embedding machinery (k-means, ANN, semantic dedup) without a
+    vocabulary table: bucket = hash(term) % dim, weight = tf × smoothed
+    idf (sklearn formulation, computed at BUCKET granularity, which is
+    the standard HashingVectorizer+TfidfTransformer composition).
+
+    Sparse rows rather than dense arrays: honest about the data (most
+    buckets are zero), exactly SQL-replayable row by row, and
+    :func:`tfidf_dense` converts when a fixed-width column is needed.
+    One token shuffle; the dim-sized df table broadcasts.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = (
+        toks.select(
+            "doc_id",
+            F.pmod(_base_hash(F.col("term"), base_hash), F.lit(dim))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    out = (
+        tf.join(F.broadcast(df_tbl), "bucket")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "bucket",
+            (
+                F.col("tf")
+                * (F.log((1 + F.col("__n")) / (1 + F.col("df"))) + 1)
+            ).alias("weight"),
+        )
+    )
+    if l2_normalize:
+        from pyspark.sql import Window
+
+        nrm = F.sqrt(
+            F.sum(F.col("weight") * F.col("weight")).over(
+                Window.partitionBy("doc_id")
+            )
+        )
+        out = out.select(
+            "doc_id", "bucket", (F.col("weight") / nrm).alias("weight")
+        )
+    return out
+
+
+def tfidf_dense(sparse: DataFrame, dim: int) -> DataFrame:
+    """(doc_id, embedding array<double>) — dense conversion of
+    :func:`tfidf_vectors` output for the ANN/k-means entry points.
+    One doc_id-keyed aggregation; zero buckets filled inline."""
+    pairs = sparse.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("weight")
+        ).alias("m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return pairs.select(
+        "doc_id",
+        F.transform(
+            idx, lambda i: F.coalesce(F.col("m")[i], F.lit(0.0))
+        ).alias("embedding"),
+    )
