@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .driver_contract import SQL_EDGES_SP, _graph_sp, _lineitem
+from .driver_contract import (
+    SQL_EDGES_SP,
+    SQL_NODES_SP,
+    _graph_sp,
+    _lineitem,
+)
 from .driver_contract_ext import (
     CUST_OFFSET,
     ORDER_OFFSET,
@@ -313,6 +318,8 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_conductance() -> str:
     return f"""
 WITH edges AS MATERIALIZED ({SQL_EDGES_SP}),
+nodes AS ({SQL_NODES_SP}),
+universe AS (SELECT DISTINCT id % 7 AS community FROM nodes),
 tagged AS (SELECT src % 7 AS c_src, dst % 7 AS c_dst FROM edges),
 agg AS (SELECT c_src AS community,
         CAST(SUM(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) AS DOUBLE)
@@ -320,10 +327,11 @@ agg AS (SELECT c_src AS community,
         CAST(SUM(CASE WHEN c_src != c_dst THEN 1 ELSE 0 END) AS DOUBLE)
           AS w_ext
         FROM tagged GROUP BY c_src)
-SELECT community,
-       ROUND(CASE WHEN w_int + w_ext > 0 THEN w_ext / (w_int + w_ext)
+SELECT u.community,
+       ROUND(CASE WHEN COALESCE(w_int, 0) + COALESCE(w_ext, 0) > 0
+             THEN w_ext / (w_int + w_ext)
              ELSE 0.0 END, 9) AS conductance
-FROM agg
+FROM universe u LEFT JOIN agg a ON a.community = u.community
 """
 
 
@@ -931,7 +939,7 @@ def sql_sllpa() -> str:
         )
         ctes.append(
             f"sp{t} AS (SELECT e.dst, e.eid, m.label, "
-            f"{race} / m.cnt AS race "
+            f"-LN({race}) / m.cnt AS race "
             f"FROM sedges e JOIN m{t - 1} m ON m.id = e.src)"
         )
         ctes.append(

@@ -73,10 +73,15 @@ def conductance(
         F.sum(F.when(F.col("c_src") != F.col("c_dst"), F.col("w"))
               .otherwise(F.lit(0.0))).alias("w_ext"),
     )
-    return agg.select(
+    # a groupBy over c_src misses communities whose members have no
+    # outgoing edges at all — union them back in at 0.0 (docstring
+    # contract: every assigned community gets a row)
+    universe = comm.select("community").distinct()
+    return universe.join(agg, "community", "left").select(
         "community",
         F.when(
-            F.col("w_int") + F.col("w_ext") > 0,
+            F.coalesce("w_int", F.lit(0.0))
+            + F.coalesce("w_ext", F.lit(0.0)) > 0,
             F.col("w_ext") / (F.col("w_int") + F.col("w_ext")),
         )
         .otherwise(F.lit(0.0))

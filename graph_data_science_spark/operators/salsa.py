@@ -49,6 +49,11 @@ def salsa(
     """(internal_id, hub double, auth double). Nodes outside the hub /
     authority support score 0.0 on that side (SALSA is defined on the
     bipartite support graph)."""
+    if max_iterations < 1:
+        raise ValueError(
+            "salsa requires max_iterations >= 1 (power iteration needs at "
+            "least one auth/hub sweep)"
+        )
     edges = graph.edges.select("src", "dst").distinct().localCheckpoint(
         eager=False
     )

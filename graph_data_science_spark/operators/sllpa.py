@@ -17,10 +17,12 @@ least ``threshold`` of its memory.
 Determinism (divergence from the paper's RNG, documented): the speaker
 draw uses the exponential-race trick already powering
 ``pipeline.sampling.weighted_sample`` — label ℓ with count c wins the
-draw for edge e at round t iff it minimizes ``H(t, e, ℓ) / c`` where H
-is the engine-portable 60-bit md5 hash mapped to (0,1]. That is exactly
-a weighted draw with weights c (the race construction), but it is a pure
-function of (round, edge, label, count), so the run is reproducible
+draw for edge e at round t iff it minimizes ``-ln(H(t, e, ℓ)) / c``
+where H is the engine-portable 60-bit md5 hash mapped to (0,1]. The
+``-ln`` maps the uniform hash to an Exponential(1) arrival time, so the
+minimum is exactly a weighted draw with weights c (the race
+construction), and it remains a pure function of (round, edge, label,
+count), so the run is reproducible
 across cluster sizes AND exactly replayable in SQL. The listener's mode
 is deterministic by the tie rule.
 
@@ -87,11 +89,13 @@ def sllpa(
                 "eid",
                 "label",
                 (
-                    _u01(
-                        F.lit(str(t)),
-                        F.col("eid"),
-                        F.col("label").cast("string"),
-                        F.lit(str(seed)),
+                    -F.log(
+                        _u01(
+                            F.lit(str(t)),
+                            F.col("eid"),
+                            F.col("label").cast("string"),
+                            F.lit(str(seed)),
+                        )
                     )
                     / F.col("cnt")
                 ).alias("race"),

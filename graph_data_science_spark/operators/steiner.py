@@ -51,7 +51,10 @@ def steiner_tree(
     paths = dijkstra_path(
         graph, source, targets=list(targets), weighted=weighted
     )
-    seg = paths.select(
+    # a target equal to the source yields a single-node path; guard it
+    # out — sequence(1, 0) DESCENDS in Spark ([1, 0]), which would emit a
+    # NULL-id segment plus a spurious duplicate root row
+    seg = paths.filter(F.size("node_ids") > 1).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(node_ids) - 1), "

@@ -55,3 +55,30 @@ def test_sllpa_isolated_node_keeps_own_label(spark):
     assert (ids["z"], ids["z"]) in out
     # 'a' has no in-edges under NATURAL orientation: keeps its own label
     assert (ids["a"], ids["a"]) in out
+
+
+def test_sllpa_race_is_count_proportional(spark):
+    """The speaker draw is a true weighted draw: with memory counts
+    {label A: 2, label B: 1}, A must win ~2/3 of edges (the exponential
+    race -ln(u)/c), not the 3/4 a raw u/c race would produce."""
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.operators.sllpa import _u01
+
+    n = 20_000
+    eids = spark.range(n).select(F.col("id").cast("string").alias("eid"))
+    races = eids.select(
+        "eid",
+        *[
+            (
+                -F.log(_u01(F.lit("1"), F.col("eid"), F.lit(lbl), F.lit("42")))
+                / F.lit(float(cnt))
+            ).alias(f"race_{lbl}")
+            for lbl, cnt in (("A", 2), ("B", 1))
+        ],
+    )
+    wins_a = races.filter(F.col("race_A") < F.col("race_B")).count()
+    frac = wins_a / n
+    # Binomial(20000, 2/3) → sd ≈ 0.0033; 6 sd ≈ 0.02. A u/c race
+    # concentrates at 0.75 — far outside this band.
+    assert abs(frac - 2.0 / 3.0) < 0.02, frac
