@@ -57,6 +57,46 @@ def register_owned_block_dir(path: str) -> str:
     return path
 
 
+def resolve_block_root(spark) -> str:
+    """Root directory for CSR / static block side files.
+
+    Blocks are written ONCE through the DataFrame writer and then
+    memory-mapped worker-side every superstep, so every executor must be
+    able to read blocks that any task wrote. On a ``local[*]`` master
+    that holds trivially (one host → tmpfs). On a multi-executor cluster
+    it requires shared storage — NFS, a fuse-mounted DFS, or a cluster
+    scratch filesystem — named via ``SPARK_GRAFT_BLOCK_DIR`` (legacy
+    alias ``SPARK_GRAFT_LOCAL_DIR``) or an explicit ``block_dir=``
+    argument. With a non-local master and no override this raises
+    loudly instead of silently building a block store that only the
+    writing host can see.
+    """
+    override = os.environ.get("SPARK_GRAFT_BLOCK_DIR") or os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR"
+    )
+    if override:
+        return override
+    master = str(spark.conf.get("spark.master", ""))
+    if not master.startswith("local"):
+        raise RuntimeError(
+            f"block store: spark.master={master!r} runs executors on "
+            "multiple hosts, but no shared block directory is configured. "
+            "CSR/static blocks are written once and memory-mapped by every "
+            "executor, so they must live on storage all executors can read "
+            "(NFS / fuse-DFS / shared scratch). Set "
+            "SPARK_GRAFT_BLOCK_DIR=/shared/path (or pass block_dir=) — the "
+            "/dev/shm local default only works on a single host."
+        )
+    # CSR block files live on tmpfs when available: they are read via
+    # mmap every superstep, and tmpfs has no disk writeback to pollute
+    # the page cache (mirrors executor-local NVMe on a real cluster).
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/gds-csr"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return tempfile.gettempdir()
+
+
 BLOCK_SCHEMA = (
     "pid int, chunk int, n_src long, n_edges long, "
     "src_ids binary, dst_ids binary, dst_offsets binary, src_idx binary, "
@@ -242,7 +282,7 @@ def build_csr_graph(
             import uuid
 
             block_dir = register_owned_block_dir(os.path.join(
-                tempfile.gettempdir(), f"gds_csr_{uuid.uuid4().hex[:12]}"
+                resolve_block_root(spark), f"gds_csr_{uuid.uuid4().hex[:12]}"
             ))
         # UNCOMPRESSED on purpose: the worker-side load memory-maps these
         # files (load_block: pyarrow memory_map=True + zero-copy buffer

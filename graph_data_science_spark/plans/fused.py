@@ -26,6 +26,15 @@ Static per-vertex inputs (e.g. out-degree for PageRank's push) are
 written once as dense per-bucket arrays next to the CSR blocks and read
 through the same worker-resident cache (memory-mapped, uncompressed).
 
+Cluster story: every block and static array is written through the
+DataFrame writer (task-commit protocol handles retries/speculation) to
+``resolve_block_root``-resolved storage — tmpfs on a local master, a
+REQUIRED shared filesystem (``SPARK_GRAFT_BLOCK_DIR``) on a
+multi-executor master, enforced with a loud error. Executors only ever
+READ the block files (mmap + per-worker LRU), so any POSIX mount every
+executor can see (NFS / fuse-DFS / cluster scratch) works; the OS page
+cache gives one resident copy per host.
+
 Skew note: range partitioning gives up the salted-hash hub splitting of
 ``build_csr_graph``; choose ``n_buckets`` ≥ 4× cores so heavy buckets
 average out, and keep the classic kernel for graphs with single-vertex
@@ -41,7 +50,6 @@ from __future__ import annotations
 
 import glob
 import os
-import tempfile
 from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Callable
@@ -79,20 +87,6 @@ class BucketedCsr:
         shutil.rmtree(self.block_dir, ignore_errors=True)
 
 
-def _default_block_root() -> str:
-    """CSR block files live on tmpfs when available: they are read via
-    mmap every superstep, and tmpfs has no disk writeback to pollute the
-    page cache (mirrors executor-local NVMe on a real cluster)."""
-    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if override:
-        return override
-    if os.path.isdir("/dev/shm"):
-        d = "/dev/shm/gds-csr"
-        os.makedirs(d, exist_ok=True)
-        return d
-    return tempfile.gettempdir()
-
-
 def build_bucketed_csr(
     edges: DataFrame,
     n_vertices: int,
@@ -123,10 +117,10 @@ def build_bucketed_csr(
     if block_dir is None:
         import uuid
 
-        from .csr import register_owned_block_dir
+        from .csr import register_owned_block_dir, resolve_block_root
 
         block_dir = register_owned_block_dir(os.path.join(
-            _default_block_root(), f"gds_fcsr_{uuid.uuid4().hex[:12]}"
+            resolve_block_root(spark), f"gds_fcsr_{uuid.uuid4().hex[:12]}"
         ))
 
     e = edges.select(
@@ -139,10 +133,15 @@ def build_bucketed_csr(
     def build(key, pdf):
         # the group already holds every out-edge of this bucket's
         # vertices: fold the degree statics into the same pass instead of
-        # paying a second full scan+shuffle of the edge table later
+        # paying a second full scan+shuffle of the edge table later. They
+        # ride as a chunk == -1 row of the SAME output frame, so the one
+        # committer-backed DataFrame write below covers blocks AND
+        # statics — no worker-direct file I/O anywhere (cluster-safe with
+        # task retries / speculative execution).
         b = int(key[0])
         base = b * bucket_width
         width = min(bucket_width, n_vertices - base)
+        out = _build_chunks(key, pdf, max_chunk_edges)
         if width > 0:
             src_local = pdf["src"].to_numpy(np.int64) - base
             w = pdf["weight"].to_numpy(np.float64)
@@ -154,9 +153,12 @@ def build_bucketed_csr(
             wdeg = np.bincount(
                 src_local, weights=np.maximum(w, 0.0), minlength=width
             )[:width]
-            _write_static_file(block_dir, "out_degree", b, deg)
-            _write_static_file(block_dir, "out_wdegree", b, wdeg)
-        return _build_chunks(key, pdf, max_chunk_edges)
+            static_row = pd.DataFrame(
+                [(b, -1, 0, 0, deg.tobytes(), wdeg.tobytes(), b"", b"", b"")],
+                columns=out.columns,
+            )
+            out = pd.concat([out, static_row], ignore_index=True)
+        return out
 
     built = e.groupBy("pid").applyInPandas(
         build,
@@ -178,24 +180,21 @@ def build_bucketed_csr(
     )
 
 
-def _write_static_file(
-    block_dir: str, name: str, bucket: int, arr: np.ndarray
+def write_static_payloads(
+    block_dir: str, name: str, payloads: DataFrame
 ) -> None:
-    """Worker-side static-array write, same layout as
-    :func:`write_static_array` (``static_<name>/bucket=N/*.parquet`` with
-    a single ``payload`` row). Write-to-temp + atomic rename so a retried
-    task can never leave a half-written file behind."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    d = os.path.join(block_dir, f"static_{name}", f"bucket={bucket}")
-    os.makedirs(d, exist_ok=True)
-    final = os.path.join(d, "part-0.parquet")
-    tmp = f"{final}.{os.getpid()}.tmp"
-    pq.write_table(
-        pa.table({"payload": [arr.tobytes()]}), tmp, compression="none"
+    """Persist per-bucket binary payload rows (``bucket int, payload
+    binary``) as ``static_<name>/bucket=N/*.parquet`` through the
+    DataFrame writer — the task-commit protocol makes retried /
+    speculative tasks safe, and the files land wherever ``block_dir``
+    points (shared storage on a cluster). Uncompressed so worker reads
+    stay zero-copy mmap views."""
+    (
+        payloads.write.partitionBy("bucket")
+        .mode("overwrite")
+        .option("compression", "none")
+        .parquet(os.path.join(block_dir, f"static_{name}"))
     )
-    os.replace(tmp, final)
 
 
 def write_static_array(
@@ -260,9 +259,25 @@ def load_bucket_chunks(block_dir: str, bucket: int) -> list[tuple]:
     for path in sorted(
         glob.glob(os.path.join(block_dir, "csr", f"pid={bucket}", "*.parquet"))
     ):
-        t = pq.read_table(path, columns=list(_CSR_COLS), memory_map=True)
+        t = pq.read_table(
+            path, columns=["chunk", *_CSR_COLS], memory_map=True
+        )
+        chunk_no = t.column("chunk")
         cols = [t.column(c) for c in _CSR_COLS]
         for i in range(t.num_rows):
+            if chunk_no[i].as_py() < 0:
+                # degree statics folded into the CSR write (chunk == -1
+                # row: src_ids = out_degree, dst_ids = out_wdegree) —
+                # decode into the static cache alongside the chunks
+                _cache_put(
+                    ("static", block_dir, "out_degree", bucket),
+                    np.frombuffer(cols[0][i].as_buffer(), np.float64),
+                )
+                _cache_put(
+                    ("static", block_dir, "out_wdegree", bucket),
+                    np.frombuffer(cols[1][i].as_buffer(), np.float64),
+                )
+                continue
             arrays = []
             for col, dt in zip(cols, _CSR_DTYPES):
                 arrays.append(np.frombuffer(col[i].as_buffer(), dtype=dt))
@@ -286,11 +301,20 @@ def load_static(block_dir: str, name: str, bucket: int, bw: int,
             )
         )
     )
-    if not paths:
-        arr = np.full(bw, default, dtype=np.float64)
-    else:
+    if paths:
         t = pq.read_table(paths[0], columns=["payload"], memory_map=True)
         arr = np.frombuffer(t.column("payload")[0].as_buffer(), np.float64)
+    elif name in ("out_degree", "out_wdegree"):
+        # degree statics live as chunk == -1 rows inside the CSR files
+        # (written by build_bucketed_csr's single pass); loading the
+        # bucket's chunks populates the static cache as a side effect
+        load_bucket_chunks(block_dir, bucket)
+        hit = _cache_get(key)
+        if hit is not None:
+            return hit
+        arr = np.full(bw, default, dtype=np.float64)
+    else:
+        arr = np.full(bw, default, dtype=np.float64)
     _cache_put(key, arr)
     return arr
 

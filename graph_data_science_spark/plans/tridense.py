@@ -18,7 +18,8 @@ probe kernel / fused CSR):
 
 1. symmetrize the canonical a<b edge set, group by row-range bucket, and
    write each bucket's dense float32 row block A_b (width x V) as an
-   uncompressed parquet blob (atomic rename, worker-mmap'd once per host);
+   uncompressed parquet blob via the DataFrame writer (committer-backed,
+   worker-mmap'd once per host);
 2. group the same frame again; bucket b's task accumulates
    S = sum_c A_b[:, rows_c] @ A_c (BLAS sgemm per block pair), then emits
    (vertex, 1/2 * rowsum(S * A_b)) — V rows total leave python.
@@ -49,12 +50,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .fused import (
-    _cache_get,
-    _cache_put,
-    _default_block_root,
-    _write_static_file,
-)
+from .fused import _cache_get, _cache_put, write_static_payloads
 
 
 def dense_applicable(n_vertices: int, n_canon_edges: int) -> bool:
@@ -113,9 +109,11 @@ def triangle_dense_counts(
     )
     bw = max(1, -(-n // nbk))
     nbk = -(-n // bw)
+    from .csr import resolve_block_root
+
     block_dir = register_owned_block_dir(
         os.path.join(
-            _default_block_root(), f"gds_trid_{uuid.uuid4().hex[:12]}"
+            resolve_block_root(spark), f"gds_trid_{uuid.uuid4().hex[:12]}"
         )
     )
 
@@ -126,7 +124,7 @@ def triangle_dense_counts(
         (F.col("a") / bw).cast("int").alias("pid"), "a", "b"
     ).localCheckpoint(eager=True)  # reused by both passes
 
-    def write_rows(key_, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack_rows(key_, pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(key_[0])
         base = b * bw
         width = min(bw, n - base)
@@ -134,8 +132,9 @@ def triangle_dense_counts(
         rows = pdf["a"].to_numpy(np.int64) - base
         cols = pdf["b"].to_numpy(np.int64)
         block[rows, cols] = 1.0
-        _write_static_file(block_dir, "arows", b, block.ravel())
-        return pd.DataFrame({"bucket": [b], "nnz": [len(rows)]})
+        return pd.DataFrame(
+            {"bucket": [b], "payload": [block.ravel().tobytes()]}
+        )
 
     def kernel(key_, pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(key_[0])
@@ -170,9 +169,15 @@ def triangle_dense_counts(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(nbk))
     try:
-        keyed.groupBy("pid").applyInPandas(
-            write_rows, "bucket int, nnz long"
-        ).count()
+        # committer-backed write (no worker-direct file I/O): safe under
+        # task retries/speculation, lands on shared storage on a cluster
+        write_static_payloads(
+            block_dir,
+            "arows",
+            keyed.groupBy("pid").applyInPandas(
+                pack_rows, "bucket int, payload binary"
+            ),
+        )
         # buckets with no edges spawn no task — their vertices count 0
         # triangles and the caller's left join fills the zeros
         out = keyed.groupBy("pid").applyInPandas(kernel, "vertex long, cnt long")

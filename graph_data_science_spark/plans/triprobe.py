@@ -12,9 +12,10 @@ host) — the same per-host-graph-replica model as the fused Pregel CSR.
 Plan (two applyInPandas passes over the oriented edge set, no wedge
 shuffle at all):
 
-1. group oriented edges by first-endpoint bucket; each task writes its
-   bucket's sorted packed keys ``u * n + v`` as an uncompressed parquet
-   blob (atomic rename), and the degree array is written the same way;
+1. group oriented edges by first-endpoint bucket; each bucket's sorted
+   packed keys ``u * n + v`` land as an uncompressed parquet blob via
+   the DataFrame writer (committer-backed — retry/speculation-safe, and
+   on a cluster the blocks land on the required shared block root);
 2. group the same frame again; each task builds its bucket's oriented
    adjacency, generates the i<j wedge pairs vectorized (closed-form
    index arithmetic, no per-pair python), orients each pair by the
@@ -45,12 +46,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .fused import (
-    _cache_get,
-    _cache_put,
-    _default_block_root,
-    _write_static_file,
-)
+from .fused import _cache_get, _cache_put, write_static_payloads
 
 # wedge-buffer cap per task before probing: 5 buffered arrays + ~10
 # flush temporaries at 8 B each ≈ 120 B/wedge peak — 4M keeps a task
@@ -112,9 +108,13 @@ def triangle_probe_counts(
     # sources; per-u work is bounded by C(outdeg_o, 2) with outdeg_o ~
     # O(sqrt(E)) under degree ordering. Per-bucket fixed cost is paid
     # once (no superstep loop), so no vertices-per-bucket floor applies.
+    from .csr import resolve_block_root
+
     nbk = max(4 * spark.sparkContext.defaultParallelism, 8)
     block_dir = register_owned_block_dir(
-        os.path.join(_default_block_root(), f"gds_tri_{uuid.uuid4().hex[:12]}")
+        os.path.join(
+            resolve_block_root(spark), f"gds_tri_{uuid.uuid4().hex[:12]}"
+        )
     )
 
     n = int(n_vertices)
@@ -128,13 +128,12 @@ def triangle_probe_counts(
         .localCheckpoint(eager=True)  # reused by both passes below
     )
 
-    def write_keys(key_, pdf):
+    def pack_keys(key_, pdf):
         b = int(key_[0])
         k = np.sort(
             pdf["u"].to_numpy(np.int64) * n + pdf["v"].to_numpy(np.int64)
         )
-        _write_static_file(block_dir, "keys", b, k)
-        return pd.DataFrame({"bucket": [b], "n_keys": [len(k)]})
+        return pd.DataFrame({"bucket": [b], "payload": [k.tobytes()]})
 
     def kernel(key_, pdf):
         u = pdf["u"].to_numpy(np.int64)
@@ -224,9 +223,15 @@ def triangle_probe_counts(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(nbk))
     try:
-        keyed.groupBy("pid").applyInPandas(
-            write_keys, "bucket int, n_keys long"
-        ).count()
+        # committer-backed write (no worker-direct file I/O): safe under
+        # task retries/speculation, lands on shared storage on a cluster
+        write_static_payloads(
+            block_dir,
+            "keys",
+            keyed.groupBy("pid").applyInPandas(
+                pack_keys, "bucket int, payload binary"
+            ),
+        )
         out = keyed.groupBy("pid").applyInPandas(
             kernel, "vertex long, cnt long"
         )

@@ -80,11 +80,6 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # single-machine local mode: no rack/host locality to wait for
         .config("spark.locality.wait", "0s")
-        # shuffle files on tmpfs when available: a real cluster has one
-        # local SSD per executor (shuffle bandwidth scales with N); a
-        # single shared virtual disk does not — tmpfs restores that
-        # scaling behavior in local mode
-        .config("spark.local.dir", _local_dirs())
         # deterministic event-time semantics everywhere: window alignment
         # and epoch conversions must not depend on the host's timezone
         .config("spark.sql.session.timeZone", "UTC")
@@ -100,6 +95,14 @@ def get_spark(
         .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if master.startswith("local"):
+        # shuffle files on tmpfs when available: a real cluster has one
+        # local SSD per executor (shuffle bandwidth scales with N); a
+        # single shared virtual disk does not — tmpfs restores that
+        # scaling behavior in local mode. NEVER set this for a cluster
+        # master: each worker's own SPARK_LOCAL_DIRS must win there (a
+        # driver-local /dev/shm path would be meaningless on executors).
+        b = b.config("spark.local.dir", _local_dirs())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -23,11 +23,18 @@ reversed-edge CSR). All three run the fused blob-state kernel
 Notes for cluster runs (vs the local[*] defaults):
 - ``--n-buckets`` should be ≥ 4× total executor cores; buckets are the
   unit of both CSR block placement and blob-state parallelism.
-- ``SPARK_GRAFT_LOCAL_DIR`` must point at storage every executor can
-  reach for the CSR block side files (HDFS/NFS/executor-local NVMe with
-  external shuffle off); blocks are written once and memory-mapped.
+- ``--block-dir`` (or ``SPARK_GRAFT_BLOCK_DIR``) must point at storage
+  every executor can READ — NFS / fuse-DFS / shared scratch — for the
+  CSR block side files; blocks are written once through the DataFrame
+  writer and memory-mapped by executors. With a non-local master and no
+  shared dir configured the job fails fast with a clear error instead
+  of silently producing a single-host block store (verified end-to-end
+  by tools/cluster_verify.py on a 2-worker standalone cluster with
+  disjoint worker local dirs).
 - ``--checkpoint`` enables the per-superstep parquet state + lineage
-  table; re-submitting the identical command resumes mid-convergence.
+  table; the directory must likewise be shared (and driver-visible —
+  resume scans it driver-side). Re-submitting the identical command
+  resumes mid-convergence.
   (File name kept as submit_pagerank.py for compatibility with existing
   launch configs.)
 """
@@ -55,7 +62,15 @@ def main() -> None:
     ap.add_argument("--weighted", action="store_true")
     ap.add_argument("--n-buckets", type=int, default=None)
     ap.add_argument("--chunk-size", type=int, default=5)
+    ap.add_argument("--block-dir", default=None,
+                    help="shared dir for CSR block side files (sets "
+                         "SPARK_GRAFT_BLOCK_DIR); required on a "
+                         "multi-executor master")
     args = ap.parse_args()
+    if args.block_dir:
+        import os
+
+        os.environ["SPARK_GRAFT_BLOCK_DIR"] = args.block_dir
     max_iters = args.max_iterations or (100 if args.algo == "wcc" else 20)
 
     from pyspark.sql import SparkSession, functions as F
