@@ -16,10 +16,16 @@ Spark-first formulations:
   predecessor with the SMALLEST internal id among cost-optimal ones —
   a deterministic tie-break, so the reconstructed path is unique and
   oracle-checkable.
-- Path reconstruction walks predecessors backward from each target. The
-  walk is O(path length) driver-coordinated single-row lookups against
-  the (distributed) predecessor table — path lengths are small compared
-  to graph size; the heavy all-pairs state never leaves the cluster.
+- Path reconstruction: all-targets (and large target-list) mode
+  flattens the predecessor forest DISTRIBUTED, by pointer doubling —
+  every node carries its partial path segment and an ancestor pointer
+  that squares each round, so the full source→v path for every settled
+  v materializes in ceil(log2 L) self-joins with zero driver-side
+  state (the round-2 driver dict-walk collected O(|V|) rows at scale).
+  Explicit small target lists keep a bounded driver walk over the
+  targets' ancestor closure (cheaper than log L distributed rounds for
+  a handful of paths); single-target surfaces (A*, Yen's spur runs) use
+  the one-row-per-hop walk.
 - A* runs the same relaxation over *reduced* costs w'(u,v) = w(u,v) -
   h(u) + h(v) (non-negative for a consistent heuristic) plus
   branch-and-bound pruning: frontier rows with dist + h(v) >= best-known
@@ -191,26 +197,99 @@ PATH_SCHEMA = (
 )
 
 
+def _assemble_paths_distributed(dist: DataFrame) -> DataFrame:
+    """Flatten the predecessor forest into full per-node paths, fully
+    distributed: (internal_id, seg_ids array, seg_costs array) where
+    seg_ids is the source→node shortest path and seg_costs the
+    cumulative distances along it.
+
+    Pointer doubling: invariant — ``seg_ids(v)`` spans ``(jump(v), v]``
+    of the shortest-path tree in path order. Each round concatenates
+    every node's segment onto its current ancestor's segment and
+    replaces ``jump`` with the ancestor's ancestor, so segment length
+    doubles and the forest flattens in ceil(log2 max-path-len)
+    self-joins. Total shuffled bytes across all rounds equal the output
+    size times the round count — no O(|V|) driver collect anywhere."""
+    seg = dist.select(
+        "internal_id",
+        F.col("pred").alias("jump"),
+        F.array("internal_id").alias("seg_ids"),
+        F.array("distance").alias("seg_costs"),
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    while not seg.filter(F.col("jump").isNotNull()).isEmpty():
+        rounds += 1
+        if rounds > 64:  # 2^64 hops — only a malformed pred cycle gets here
+            raise RuntimeError("predecessor cycle detected")
+        anc = seg.select(
+            F.col("internal_id").alias("jump"),
+            F.col("jump").alias("anc_jump"),
+            F.col("seg_ids").alias("anc_ids"),
+            F.col("seg_costs").alias("anc_costs"),
+        )
+        seg = seg.join(anc, "jump", "left").select(
+            "internal_id",
+            F.col("anc_jump").alias("jump"),
+            F.when(F.col("jump").isNull(), F.col("seg_ids"))
+            .otherwise(F.concat(F.col("anc_ids"), F.col("seg_ids")))
+            .alias("seg_ids"),
+            F.when(F.col("jump").isNull(), F.col("seg_costs"))
+            .otherwise(F.concat(F.col("anc_costs"), F.col("seg_costs")))
+            .alias("seg_costs"),
+        )
+        seg = loop_checkpoint(seg, rounds)
+    return seg
+
+
 def dijkstra_path(
     graph: Graph,
     source: int,
     targets: list[int] | None = None,
     *,
     weighted: bool = True,
+    driver_walk_max_targets: int = 64,
 ) -> DataFrame:
     """gds.beta.shortestPath.dijkstra.stream surface: one row per
     reachable target with the full node path and per-node cumulative
     costs (ref PathResult: Dijkstra.java:48). ``targets=None`` streams
-    a path to every reached node (single-source all-targets mode)."""
+    a path to every reached node (single-source all-targets mode).
+
+    All-targets mode (and target lists longer than
+    ``driver_walk_max_targets``) assembles paths DISTRIBUTED via
+    :func:`_assemble_paths_distributed` — nothing O(|V|) ever reaches
+    the driver. Short explicit target lists take a bounded driver walk
+    over the targets' ancestor closure instead (collect size ≤ sum of
+    path lengths — cheaper than log L distributed rounds for a handful
+    of paths). ``index`` enumerates results in ascending target id; the
+    final global sort is presentation-layer (the reference streams an
+    arbitrary-order result with a row counter)."""
     dist = sssp_with_predecessors(graph, source, weighted=weighted)
     dist = dist.localCheckpoint(eager=True)
-    if targets is None:
-        targets = [
-            int(r["internal_id"])
-            for r in dist.select("internal_id").collect()
-        ]
-    # Reconstruct all requested paths from ONE collected predecessor pass
-    # over the targets' ancestor closure: walk each target back locally.
+    if targets is None or len(targets) > driver_walk_max_targets:
+        from pyspark.sql import Window
+
+        seg = _assemble_paths_distributed(dist)
+        if targets is not None:
+            seg = seg.filter(
+                F.col("internal_id").isin([int(t) for t in targets])
+            )
+        res = seg.select(
+            F.col("internal_id").alias("target_node"),
+            F.element_at("seg_costs", -1).alias("total_cost"),
+            F.col("seg_ids").alias("node_ids"),
+            F.col("seg_costs").alias("costs"),
+        )
+        w = Window.orderBy("target_node")
+        return res.select(
+            (F.row_number().over(w) - 1).cast("long").alias("index"),
+            F.lit(source).cast("long").alias("source_node"),
+            "target_node",
+            "total_cost",
+            "node_ids",
+            "costs",
+        )
+    # Short explicit target list: reconstruct from ONE collected
+    # predecessor pass over the targets' ancestor closure.
     need = set(targets)
     pred_map: dict[int, tuple[float, int | None]] = {}
     pending = set(need)

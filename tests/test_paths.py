@@ -129,3 +129,38 @@ def test_yens_k_shortest(spark):
     # costs non-decreasing in index
     for a, b in itertools.pairwise(got):
         assert a["total_cost"] <= b["total_cost"] + 1e-12
+
+
+def test_dijkstra_path_modes_agree(spark):
+    """Driver-walk (small explicit targets) and distributed
+    pointer-doubling assembly must produce identical paths."""
+    n = 25
+    edges = _rand_weighted(n, 70, 11)
+    g = from_edge_list(spark, edges, node_ids=[f"{i:03d}" for i in range(n)])
+    reachable = sorted(
+        r["target_node"] for r in dijkstra_path(g, 0).collect()
+    )
+    targets = reachable[:8]
+
+    def key(rows):
+        return sorted(
+            (r["target_node"], round(r["total_cost"], 9),
+             tuple(r["node_ids"]), tuple(round(c, 9) for c in r["costs"]))
+            for r in rows
+        )
+
+    via_driver = key(dijkstra_path(g, 0, targets=targets).collect())
+    via_dist = key(
+        dijkstra_path(
+            g, 0, targets=targets, driver_walk_max_targets=0
+        ).collect()
+    )
+    assert via_driver == via_dist
+    # index enumerates ascending target id in both modes
+    idx = {
+        r["target_node"]: r["index"]
+        for r in dijkstra_path(
+            g, 0, targets=targets, driver_walk_max_targets=0
+        ).collect()
+    }
+    assert [idx[t] for t in sorted(idx)] == list(range(len(idx)))
