@@ -17,14 +17,22 @@ Spark-first split of the work:
   One shuffle per layer, no driver state, full-neighborhood means (a
   deterministic superset of GDS's sampled predict-time neighborhoods).
 - **train** is inherently minibatch (GDS trains on batchSize=100 node
-  batches too): a deterministic hash-ordered node batch plus its
-  fanout-sampled L-hop neighborhood is pulled to the driver (bounded:
-  ``batch_size × Π sample_sizes`` rows) and the weights are fit with
-  numpy SGD/Adam on the unsupervised objective
-  ``-log σ(z_u·z_v) − Q·mean log σ(−z_u·z_n)`` (positive v = sampled
-  neighbor, negatives = hash-sampled nodes). Weights are O(dim²) —
+  batches too): the vertex set is hash-partitioned into
+  ``ceil(|V| / batch_size)`` disjoint batches and EVERY epoch iterates
+  the whole batch queue — one Adam step per batch visit on the
+  unsupervised objective ``-log σ(z_u·z_v) − Q·mean log σ(−z_u·z_n)``
+  (positive v = sampled neighbor, negatives = hash-sampled nodes) —
+  matching the reference's per-epoch batch loop
+  (GraphSageModelTrainer.java:59 trainEpoch iterates the batch tasks).
+  Each batch's fanout-sampled L-hop neighborhood is bounded
+  (``batch_size × Π sample_sizes`` rows), sampled once per batch
+  (deterministic hash-rank sampling) and reused across epochs; the
+  Adam state is a single sequential optimizer over the queue (the
+  reference runs per-batch updaters against shared weights — same
+  minibatch semantics, deterministic here). Weights are O(dim²) —
   kilobytes — so driver training + distributed inference is the right
-  scale split.
+  scale split. ``max_batches`` caps the queue (driver memory holds the
+  cached neighborhoods) for very large graphs.
 """
 
 from __future__ import annotations
@@ -64,6 +72,8 @@ class GraphSageModel:
     # per layer: (W_self (out,in), W_neigh (out,in))
     layers: list[tuple[np.ndarray, np.ndarray]] = field(default_factory=list)
     train_loss: float = float("nan")
+    # mean batch loss per epoch (ref reports per-epoch losses too)
+    loss_history: list[float] = field(default_factory=list)
 
     @property
     def name(self) -> str:  # model-catalog compatibility
@@ -182,37 +192,32 @@ def graphsage_train(
     negative_sample_weight: float = 5.0,
     n_negative: int = 5,
     seed: int = 42,
+    max_batches: int | None = None,
 ) -> GraphSageModel:
     """Fit GraphSage layer weights (gds.beta.graphSage.train).
 
-    One deterministic minibatch of ``batch_size`` hash-ordered nodes per
-    epoch pass; its sampled L-hop neighborhood (≤ batch×Πfanouts rows)
-    is collected and the unsupervised loss optimized with numpy Adam.
-    """
+    The vertex set is hash-partitioned into ``ceil(|V| / batch_size)``
+    disjoint batches; every epoch sweeps the WHOLE batch queue with one
+    Adam step per batch (the reference's trainEpoch iterates its batch
+    tasks the same way — GraphSageModelTrainer.java:59). Each batch's
+    sampled L-hop neighborhood (≤ batch×Πfanouts rows) is collected
+    once and reused across epochs. ``max_batches`` caps the queue for
+    very large graphs (the cached neighborhoods live on the driver)."""
     if activation not in _ACTIVATIONS:
         raise ValueError(f"activation must be one of {_ACTIVATIONS}")
     sample_sizes = list(sample_sizes or [25, 10])
     feats, in_dim = feature_frame(graph, feature_cols)
 
-    batch = (
-        graph.vertices.select("internal_id")
-        .orderBy(F.xxhash64("internal_id", F.lit(seed)), "internal_id")
-        .limit(batch_size)
-    )
-    nodes, edges = _sampled_neighborhood(graph, batch, sample_sizes, seed)
-    node_pdf = (
-        nodes.join(feats, "internal_id")
-        .orderBy("internal_id")
-        .toPandas()
-    )
-    ids = node_pdf["internal_id"].to_numpy(np.int64)
-    pos = {int(v): i for i, v in enumerate(ids)}
-    h0 = np.stack(node_pdf["feat"].to_numpy()).astype(np.float64)
-    e_pdf = edges.toPandas()
-    src = np.array([pos[int(s)] for s in e_pdf["src"]], dtype=np.int64)
-    dst = np.array([pos[int(d)] for d in e_pdf["dst"]], dtype=np.int64)
-    batch_ids = [int(r.internal_id) for r in batch.collect()]
-    batch_idx = np.array([pos[b] for b in batch_ids], dtype=np.int64)
+    n_total = graph.node_count()
+    n_batches = max(1, -(-n_total // batch_size))
+    if max_batches is not None:
+        n_batches = max(1, min(n_batches, max_batches))
+    vs = graph.vertices.select("internal_id").withColumn(
+        "__b",
+        F.pmod(
+            F.xxhash64("internal_id", F.lit(seed)), F.lit(n_batches)
+        ).cast("int"),
+    ).localCheckpoint(eager=False)
 
     rng = np.random.default_rng(seed)
     dims = [in_dim] + [embedding_dim] * len(sample_sizes)
@@ -226,86 +231,117 @@ def graphsage_train(
             )
         )
 
-    # positive partner: the hash-min sampled neighbor of each batch node
-    nbr_of = {}
-    for s, d in zip(src, dst):
-        nbr_of.setdefault(int(s), int(d))
-    pairs = [(b, nbr_of[b]) for b in batch_idx if int(b) in nbr_of]
-    if not pairs:
-        model = GraphSageModel(
+    # ---- batch queue: collect each batch's bounded neighborhood once ----
+    batch_data: list[tuple] = []
+    for b in range(n_batches):
+        batch = (
+            vs.filter(F.col("__b") == b)
+            .select("internal_id")
+            .orderBy(F.xxhash64("internal_id", F.lit(seed + 1)), "internal_id")
+            .limit(batch_size)
+        )
+        nodes, edges = _sampled_neighborhood(
+            graph, batch, sample_sizes, seed + 101 * b
+        )
+        node_pdf = (
+            nodes.join(feats, "internal_id").orderBy("internal_id").toPandas()
+        )
+        if len(node_pdf) == 0:
+            continue
+        ids = node_pdf["internal_id"].to_numpy(np.int64)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        h0 = np.stack(node_pdf["feat"].to_numpy()).astype(np.float64)
+        e_pdf = edges.toPandas()
+        src = np.array([pos[int(s)] for s in e_pdf["src"]], dtype=np.int64)
+        dst = np.array([pos[int(d)] for d in e_pdf["dst"]], dtype=np.int64)
+        batch_ids = [int(r.internal_id) for r in batch.collect()]
+        batch_idx = np.array([pos[x] for x in batch_ids], dtype=np.int64)
+        # positive partner: the hash-min sampled neighbor of each node
+        nbr_of: dict[int, int] = {}
+        for s, d in zip(src, dst):
+            nbr_of.setdefault(int(s), int(d))
+        pairs = [(x, nbr_of[x]) for x in batch_idx if int(x) in nbr_of]
+        if not pairs:
+            continue
+        u_idx = np.array([p[0] for p in pairs])
+        v_idx = np.array([p[1] for p in pairs])
+        batch_data.append((h0, src, dst, u_idx, v_idx, len(ids)))
+
+    if not batch_data:
+        return GraphSageModel(
             feature_cols or [], embedding_dim, aggregator, activation,
             sample_sizes, layers,
         )
-        return model
 
-    u_idx = np.array([p[0] for p in pairs])
-    v_idx = np.array([p[1] for p in pairs])
-    # Adam state
-    mom = [
-        (np.zeros_like(ws), np.zeros_like(wn)) for ws, wn in layers
-    ]
-    vel = [
-        (np.zeros_like(ws), np.zeros_like(wn)) for ws, wn in layers
-    ]
+    # ---- training loop: epochs × batch queue, one Adam step per visit --
+    mom = [(np.zeros_like(ws), np.zeros_like(wn)) for ws, wn in layers]
+    vel = [(np.zeros_like(ws), np.zeros_like(wn)) for ws, wn in layers]
     b1, b2, eps = 0.9, 0.999, 1e-8
     t = 0
     loss = float("nan")
+    loss_history: list[float] = []
     for _epoch in range(epochs):
-        z, cache, cnt_safe = _forward(h0, src, dst, layers, activation)
-        neg_idx = rng.integers(0, len(ids), size=(len(u_idx), n_negative))
-        zu, zv, zn = z[u_idx], z[v_idx], z[neg_idx]
-        s_pos = np.einsum("ij,ij->i", zu, zv)
-        s_neg = np.einsum("ij,kij->ik", zu, zn.transpose(1, 0, 2))
-        p_pos = 1.0 / (1.0 + np.exp(-np.clip(s_pos, -60, 60)))
-        p_neg = 1.0 / (1.0 + np.exp(-np.clip(s_neg, -60, 60)))
-        loss = float(
-            -np.mean(np.log(p_pos + 1e-12))
-            - negative_sample_weight
-            * np.mean(np.log(1 - p_neg + 1e-12))
-        )
-        # dL/dz
-        dz = np.zeros_like(z)
-        c = 1.0 / len(u_idx)
-        g_pos = -(1.0 - p_pos) * c
-        np.add.at(dz, u_idx, g_pos[:, None] * zv)
-        np.add.at(dz, v_idx, g_pos[:, None] * zu)
-        g_neg = negative_sample_weight * p_neg * c / n_negative
-        np.add.at(dz, u_idx, np.einsum("ik,ikj->ij", g_neg, zn))
-        for k in range(n_negative):
-            np.add.at(dz, neg_idx[:, k], g_neg[:, k][:, None] * zu)
-        # backprop through layers
-        grads = [None] * len(layers)
-        dh = dz
-        for li in range(len(layers) - 1, -1, -1):
-            ws, wn = layers[li]
-            h, m, pre, post = cache[li]
-            dpre = dh * _act_grad(pre, post, activation)
-            gws = dpre.T @ h
-            gwn = dpre.T @ m
-            dh_prev = dpre @ ws
-            dm = dpre @ wn
-            dm_scaled = dm / cnt_safe[:, None]
-            np.add.at(dh_prev, dst, dm_scaled[src])
-            grads[li] = (gws, gwn)
-            dh = dh_prev
-        t += 1
-        new_layers = []
-        for li, ((ws, wn), (gws, gwn)) in enumerate(zip(layers, grads)):
-            upd = []
-            for w, g, mi in ((ws, gws, 0), (wn, gwn, 1)):
-                mm = b1 * mom[li][mi] + (1 - b1) * g
-                vv = b2 * vel[li][mi] + (1 - b2) * g * g
-                mom_li = list(mom[li]); mom_li[mi] = mm
-                vel_li = list(vel[li]); vel_li[mi] = vv
-                mom[li] = tuple(mom_li); vel[li] = tuple(vel_li)
-                mhat = mm / (1 - b1**t)
-                vhat = vv / (1 - b2**t)
-                upd.append(w - learning_rate * mhat / (np.sqrt(vhat) + eps))
-            new_layers.append((upd[0], upd[1]))
-        layers = new_layers
+        epoch_losses: list[float] = []
+        for h0, src, dst, u_idx, v_idx, n_ids in batch_data:
+            z, cache, cnt_safe = _forward(h0, src, dst, layers, activation)
+            neg_idx = rng.integers(0, n_ids, size=(len(u_idx), n_negative))
+            zu, zv, zn = z[u_idx], z[v_idx], z[neg_idx]
+            s_pos = np.einsum("ij,ij->i", zu, zv)
+            s_neg = np.einsum("ij,kij->ik", zu, zn.transpose(1, 0, 2))
+            p_pos = 1.0 / (1.0 + np.exp(-np.clip(s_pos, -60, 60)))
+            p_neg = 1.0 / (1.0 + np.exp(-np.clip(s_neg, -60, 60)))
+            loss = float(
+                -np.mean(np.log(p_pos + 1e-12))
+                - negative_sample_weight
+                * np.mean(np.log(1 - p_neg + 1e-12))
+            )
+            epoch_losses.append(loss)
+            # dL/dz
+            dz = np.zeros_like(z)
+            c = 1.0 / len(u_idx)
+            g_pos = -(1.0 - p_pos) * c
+            np.add.at(dz, u_idx, g_pos[:, None] * zv)
+            np.add.at(dz, v_idx, g_pos[:, None] * zu)
+            g_neg = negative_sample_weight * p_neg * c / n_negative
+            np.add.at(dz, u_idx, np.einsum("ik,ikj->ij", g_neg, zn))
+            for k in range(n_negative):
+                np.add.at(dz, neg_idx[:, k], g_neg[:, k][:, None] * zu)
+            # backprop through layers
+            grads = [None] * len(layers)
+            dh = dz
+            for li in range(len(layers) - 1, -1, -1):
+                ws, wn = layers[li]
+                h, m, pre, post = cache[li]
+                dpre = dh * _act_grad(pre, post, activation)
+                gws = dpre.T @ h
+                gwn = dpre.T @ m
+                dh_prev = dpre @ ws
+                dm = dpre @ wn
+                dm_scaled = dm / cnt_safe[:, None]
+                np.add.at(dh_prev, dst, dm_scaled[src])
+                grads[li] = (gws, gwn)
+                dh = dh_prev
+            t += 1
+            new_layers = []
+            for li, ((ws, wn), (gws, gwn)) in enumerate(zip(layers, grads)):
+                upd = []
+                for w, g, mi in ((ws, gws, 0), (wn, gwn, 1)):
+                    mm = b1 * mom[li][mi] + (1 - b1) * g
+                    vv = b2 * vel[li][mi] + (1 - b2) * g * g
+                    mom_li = list(mom[li]); mom_li[mi] = mm
+                    vel_li = list(vel[li]); vel_li[mi] = vv
+                    mom[li] = tuple(mom_li); vel[li] = tuple(vel_li)
+                    mhat = mm / (1 - b1**t)
+                    vhat = vv / (1 - b2**t)
+                    upd.append(
+                        w - learning_rate * mhat / (np.sqrt(vhat) + eps)
+                    )
+                new_layers.append((upd[0], upd[1]))
+            layers = new_layers
+        loss_history.append(float(np.mean(epoch_losses)))
     return GraphSageModel(
         feature_cols or [], embedding_dim, aggregator, activation,
-        sample_sizes, layers, train_loss=loss,
+        sample_sizes, layers, train_loss=loss, loss_history=loss_history,
     )
 
 

@@ -173,3 +173,35 @@ def test_link_prediction_combiners(spark):
         link_prediction_train(
             g, feature_cols=["f1"], combiner="NOPE",
         )
+
+
+def test_graphsage_all_batches_schedule(spark):
+    """The trainer sweeps the whole batch queue per epoch: loss history
+    decreases, and covering every batch separates two planted
+    communities at least as well as training on one batch only."""
+    g, n_per = _two_cluster_graph(spark, n_per=30, seed=13)
+    kw = dict(
+        feature_cols=["f1"], embedding_dim=4, sample_sizes=[6, 3],
+        batch_size=16, epochs=5, seed=3,
+    )
+    model = graphsage_train(g, **kw)  # 60 nodes / 16 → 4 batches
+    assert len(model.loss_history) == 5
+    assert model.loss_history[-1] < model.loss_history[0]
+
+    def separation(m):
+        emb = {
+            r.internal_id: np.array(r.embedding)
+            for r in graphsage_predict(g, m).collect()
+        }
+        ids = sorted(emb)
+        same, cross = [], []
+        for i in ids:
+            for j in ids:
+                if i >= j:
+                    continue
+                cos = float(emb[i] @ emb[j])
+                (same if (i < n_per) == (j < n_per) else cross).append(cos)
+        return float(np.mean(same) - np.mean(cross))
+
+    single = graphsage_train(g, max_batches=1, **kw)
+    assert separation(model) >= separation(single) - 1e-6
