@@ -67,15 +67,36 @@ def main() -> None:
     # per-query rows measure the reference's own usage model
     # (graph.create once, run many algorithms).
     timed("headline_warmup", lambda: qs["pagerank"](spark, sf_dir).count())
-    for name in (
+    # Alternating reps + median (same discipline as tools/bench_scaling.py
+    # and the corpus rows below): the sandbox shares cores with co-tenant
+    # load, and a single cold pass conflates one-time plan/codegen compile
+    # with steady-state throughput (r02's wcc "regression" was exactly
+    # that). Every rep is recorded in the JSON; the per-query row is the
+    # median, and total_sec still charges the non-median reps.
+    headline = (
         "pagerank",
         "wcc",
         "label_propagation",
         "triangle_count",
         "node_similarity",
         "degree_centrality",
-    ):
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    )
+    head_rounds = max(1, int(os.environ.get("BENCH_HEADLINE_REPS", "3")))
+    head_reps: dict[str, list[float]] = {n: [] for n in headline}
+    for _ in range(head_rounds):
+        for name in headline:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            head_reps[name].append(round(time.monotonic() - t0, 3))
+    import statistics
+
+    for name in headline:
+        timings[name] = round(statistics.median(head_reps[name]), 3)
+    timings["headline_other_reps"] = round(
+        sum(sum(v) for v in head_reps.values())
+        - sum(timings[n] for n in headline),
+        3,
+    )
 
     def corpus_graph(n):
         # synthesis is deterministic in (seed, repo_id, file_idx), so the
@@ -139,9 +160,12 @@ def main() -> None:
 
     # The sandbox shares its 32 cores with co-tenant load (measured 5-12%
     # CPU steal, occasionally far worse): run BENCH_PR_REPS measured
-    # passes and report the BEST as sustained capability — every rep is
-    # recorded in the JSON so nothing is hidden.
-    reps = max(1, int(os.environ.get("BENCH_PR_REPS", "2")))
+    # passes and report the MEDIAN (median-of-3 by default — the same
+    # discipline as tools/bench_scaling.py); every rep is recorded in the
+    # JSON so nothing is hidden.
+    import statistics as _stats
+
+    reps = max(1, int(os.environ.get("BENCH_PR_REPS", "3")))
     rep_secs: list[float] = []
     outcome = None
     for _ in range(reps):
@@ -153,10 +177,10 @@ def main() -> None:
         )
         outcome.scores.count()
         rep_secs.append(round(time.monotonic() - t0, 3))
-    pr_sec = min(rep_secs)
+    pr_sec = _stats.median(rep_secs)
     timings["corpus_pagerank"] = pr_sec
     if len(rep_secs) > 1:
-        # keep total_sec the true wall time: charge the non-best reps too
+        # keep total_sec the true wall time: charge the non-median reps too
         timings["corpus_pagerank_other_reps"] = round(
             sum(rep_secs) - pr_sec, 3
         )
@@ -227,6 +251,7 @@ def main() -> None:
                 "corpus_supersteps": supersteps,
                 "corpus_converged": outcome.converged,
                 "corpus_pagerank_reps": rep_secs,
+                "headline_reps": head_reps,
                 "converge_edges": n_edges2,
                 "converge_supersteps": conv.ran_iterations,
                 "converge_converged": conv.converged,
