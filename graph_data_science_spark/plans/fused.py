@@ -80,6 +80,9 @@ class BucketedCsr:
     # builds since the degree fold-in carry per-bucket out_degree /
     # out_wdegree statics written during the CSR pass itself
     has_degree_statics: bool = False
+    # hub buckets (edge mass ≫ average): bucket -> n_shards; their
+    # scatter runs as parallel shard tasks (chunk_no % n_shards == shard)
+    shard_map: dict | None = None
 
     def cleanup(self) -> None:
         import shutil
@@ -94,9 +97,18 @@ def build_bucketed_csr(
     n_buckets: int | None = None,
     block_dir: str | None = None,
     max_chunk_edges: int = 4_000_000,
+    hub_shard_edges: int | None = None,
 ) -> BucketedCsr:
     """One shuffle: bucket by src range, pack CSC chunks, persist
-    uncompressed (workers memory-map them — one page-cache copy/host)."""
+    uncompressed (workers memory-map them — one page-cache copy/host).
+
+    Hub skew: a bucket whose edge mass exceeds both 2×``hub_shard_edges``
+    (env ``GDS_HUB_SHARD_EDGES``, default 1M) and 2× the mean bucket
+    mass packs ~``hub_shard_edges``-sized chunks and is recorded in
+    ``shard_map`` (bucket → n_shards); the superstep loop then scatters
+    it as parallel shard tasks instead of one serial task. Chunks hold
+    disjoint dst runs, so shard-partial messages are exact under every
+    (associative) reducer."""
     spark = edges.sparkSession
     if n_buckets is None:
         # 4× parallelism so heavy buckets average out (see module skew
@@ -141,7 +153,14 @@ def build_bucketed_csr(
         b = int(key[0])
         base = b * bucket_width
         width = min(bucket_width, n_vertices - base)
-        out = _build_chunks(key, pdf, max_chunk_edges)
+        n_e = len(pdf)
+        tgt = max_chunk_edges
+        if n_e > 2 * shard_edges:
+            # heavy bucket: equalized ~shard_edges chunks so the shard
+            # stage gets balanced parallel scatter units
+            parts = -(-n_e // shard_edges)
+            tgt = min(max_chunk_edges, -(-n_e // parts))
+        out = _build_chunks(key, pdf, tgt)
         if width > 0:
             src_local = pdf["src"].to_numpy(np.int64) - base
             w = pdf["weight"].to_numpy(np.float64)
@@ -160,6 +179,12 @@ def build_bucketed_csr(
             out = pd.concat([out, static_row], ignore_index=True)
         return out
 
+    if hub_shard_edges is None:
+        hub_shard_edges = int(
+            os.environ.get("GDS_HUB_SHARD_EDGES", 1_000_000)
+        )
+    shard_edges = max(1, hub_shard_edges)
+
     built = e.groupBy("pid").applyInPandas(
         build,
         "pid int, chunk int, n_src long, n_edges long, src_ids binary, "
@@ -171,12 +196,34 @@ def build_bucketed_csr(
         .option("compression", "none")
         .parquet(os.path.join(block_dir, "csr"))
     )
+    # per-bucket edge mass from the just-written blocks (column-pruned
+    # scan of the tiny per-chunk header rows — no second edge scan):
+    # buckets ≫ average become shard-scattered hubs
+    summary = (
+        spark.read.parquet(os.path.join(block_dir, "csr"))
+        .filter(F.col("chunk") >= 0)
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_edges").alias("m"),
+        )
+        .collect()
+    )
+    total_m = sum(int(r["m"]) for r in summary) or 1
+    heavy = max(2 * shard_edges, -(-2 * total_m // max(n_buckets, 1)))
+    shard_cap = max(2, 4 * spark.sparkContext.defaultParallelism)
+    shard_map = {
+        int(r["pid"]): min(int(r["n_chunks"]), shard_cap)
+        for r in summary
+        if int(r["m"]) > heavy and int(r["n_chunks"]) >= 2
+    }
     return BucketedCsr(
         block_dir=block_dir,
         n_buckets=n_buckets,
         bucket_width=bucket_width,
         n_vertices=n_vertices,
         has_degree_statics=True,
+        shard_map=shard_map or None,
     )
 
 
@@ -249,6 +296,10 @@ def _cache_put(key, val):
 
 
 def load_bucket_chunks(block_dir: str, bucket: int) -> list[tuple]:
+    """Decoded CSR chunks for one bucket: list of (chunk_no, arrays)
+    where arrays = (src_ids, dst_ids, dst_offsets, src_idx, weights).
+    The chunk number keys hub-shard scatter (shard s owns chunks with
+    ``chunk_no % n_shards == s``)."""
     key = ("csr", block_dir, bucket)
     hit = _cache_get(key)
     if hit is not None:
@@ -265,7 +316,8 @@ def load_bucket_chunks(block_dir: str, bucket: int) -> list[tuple]:
         chunk_no = t.column("chunk")
         cols = [t.column(c) for c in _CSR_COLS]
         for i in range(t.num_rows):
-            if chunk_no[i].as_py() < 0:
+            cno = chunk_no[i].as_py()
+            if cno < 0:
                 # degree statics folded into the CSR write (chunk == -1
                 # row: src_ids = out_degree, dst_ids = out_wdegree) —
                 # decode into the static cache alongside the chunks
@@ -281,7 +333,7 @@ def load_bucket_chunks(block_dir: str, bucket: int) -> list[tuple]:
             arrays = []
             for col, dt in zip(cols, _CSR_DTYPES):
                 arrays.append(np.frombuffer(col[i].as_buffer(), dtype=dt))
-            chunks.append(tuple(arrays))
+            chunks.append((int(cno), tuple(arrays)))
     _cache_put(key, chunks)
     return chunks
 
@@ -355,6 +407,143 @@ def _combine_labelvote(
     msg_mask = np.zeros(width, dtype=bool)
     msg_mask[gv[dstarts]] = True
     return msg_vals, msg_mask
+
+
+def _emit_scatter(
+    rows: dict,
+    send: np.ndarray,
+    chunks: list[tuple],
+    base: int,
+    bucket: int,
+    bw: int,
+    nb: int,
+    bucket_edges: np.ndarray,
+    reducer: str,
+    use_weights: bool,
+) -> None:
+    """Scatter ``send`` along the given CSR chunks and append kind-1
+    message rows to ``rows``. ``chunks`` is a (chunk_no, arrays) list —
+    the caller chooses which chunks (all of them inline, or one hub
+    shard's subset). Chunks within a bucket hold DISJOINT dst runs
+    (_build_chunks never splits a dst across chunks), so per-shard
+    partial message rows stay exact for every reducer and the receiving
+    side's sender-sorted combine order stays deterministic."""
+    if reducer == "labelvote":
+        if np.isnan(send).all():
+            return
+        for _cno, chunk in chunks:
+            src_ids, dst_ids, dst_offsets, src_idx, weights = chunk
+            lab_pe = send[src_ids - base][src_idx]
+            w_pe = (
+                weights
+                if use_weights
+                else np.ones(len(lab_pe), dtype=np.float64)
+            )
+            dst_pe = np.repeat(dst_ids, np.diff(dst_offsets))
+            sent = ~np.isnan(lab_pe)
+            if not sent.all():
+                lab_pe = lab_pe[sent]
+                w_pe = w_pe[sent]
+                dst_pe = dst_pe[sent]
+            if len(dst_pe) == 0:
+                continue
+            # map-side combine per (dst, label): early supersteps see
+            # unique labels (no reduction), late supersteps collapse
+            # most vote traffic
+            order = np.lexsort((lab_pe, dst_pe))
+            sd = dst_pe[order]
+            sl2 = lab_pe[order]
+            sw2 = w_pe[order]
+            newg = np.r_[
+                True,
+                (sd[1:] != sd[:-1]) | (sl2[1:] != sl2[:-1]),
+            ]
+            gstarts = np.nonzero(newg)[0]
+            gd = sd[gstarts]
+            gl = sl2[gstarts]
+            gw = np.add.reduceat(sw2, gstarts)
+            gd_local = (gd % bw).astype(np.int32)
+            cut = np.searchsorted(gd, bucket_edges)
+            lo = 0
+            for b in range(nb):
+                hi = cut[b]
+                if hi > lo:
+                    rows["kind"].append(1)
+                    rows["bucket"].append(b)
+                    rows["pay1"].append(gd_local[lo:hi].tobytes())
+                    rows["pay2"].append(gl[lo:hi].tobytes())
+                    rows["pay3"].append(gw[lo:hi].tobytes())
+                    rows["l1"].append(0.0)
+                    rows["active"].append(bucket)
+                    rows["nrows"].append(int(hi - lo))
+                lo = hi
+        return
+    n_nan = int(np.isnan(send).sum())
+    if n_nan >= len(send):
+        return
+    all_sent = n_nan == 0 and not use_weights
+    for _cno, chunk in chunks:
+        src_ids, dst_ids, dst_offsets, src_idx, weights = chunk
+        per_edge = send[src_ids - base][src_idx]
+        if use_weights:
+            per_edge = per_edge * weights
+            per_edge[~np.isfinite(per_edge)] = np.nan
+        starts = dst_offsets[:-1]
+        if all_sent:
+            # fast path (every vertex sends — the common case for power
+            # iterations before the frontier thins): skip the sent-mask
+            # and its three O(E) temporaries entirely
+            if reducer == "sum":
+                accm = np.add.reduceat(per_edge, starts)
+            elif reducer == "count":
+                accm = np.diff(dst_offsets).astype(np.float64)
+            elif reducer == "min":
+                accm = np.minimum.reduceat(per_edge, starts)
+            else:
+                accm = np.maximum.reduceat(per_edge, starts)
+            verts = dst_ids
+            vals = accm
+        else:
+            sent = ~np.isnan(per_edge)
+            if not sent.any():
+                continue
+            cnts = np.add.reduceat(sent.astype(np.float64), starts)
+            touched = cnts > 0
+            if reducer == "sum":
+                accm = np.add.reduceat(
+                    np.where(sent, per_edge, 0.0), starts
+                )
+            elif reducer == "count":
+                accm = cnts
+            elif reducer == "min":
+                accm = np.minimum.reduceat(
+                    np.where(sent, per_edge, np.inf), starts
+                )
+            else:
+                accm = np.maximum.reduceat(
+                    np.where(sent, per_edge, -np.inf), starts
+                )
+            verts = dst_ids[touched]
+            vals = accm[touched]
+        # vectorized bucket-local id conversion: one mod + one astype
+        # over the whole array, then slice
+        verts_local = (verts % bw).astype(np.int32)
+        cut = np.searchsorted(verts, bucket_edges)
+        lo = 0
+        for b in range(nb):
+            hi = cut[b]
+            if hi > lo:
+                rows["kind"].append(1)
+                rows["bucket"].append(b)
+                rows["pay1"].append(verts_local[lo:hi].tobytes())
+                rows["pay2"].append(vals[lo:hi].tobytes())
+                rows["pay3"].append(b"")
+                rows["l1"].append(0.0)
+                # sender bucket: the deterministic combine-order key on
+                # the receive side
+                rows["active"].append(bucket)
+                rows["nrows"].append(int(hi - lo))
+            lo = hi
 
 
 @dataclass
@@ -434,10 +623,37 @@ def run_fused(
     n_vertices = csr.n_vertices
     block_dir = csr.block_dir
     bucket_edges = np.arange(1, nb + 1, dtype=np.int64) * bw
+    shard_map = csr.shard_map or {}
 
     out_cols = (
         "kind", "bucket", "pay1", "pay2", "pay3", "l1", "active", "nrows"
     )
+
+    def shard_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Hub-shard scatter stage. Groups keyed (bucket, g2): g2 == -1
+        is the pass-through group (state + regular message rows flow on
+        unchanged); g2 >= 0 scatters shard g2's chunk subset of a hub
+        bucket — so a hub's edge mass runs as n_shards parallel tasks
+        instead of one serial one. Exact: chunks hold disjoint dst runs
+        (partial sums per shard never overlap a dst)."""
+        g2 = int(key[1])
+        if g2 < 0:
+            return pdf[list(out_cols)]
+        bucket = int(key[0])
+        base = bucket * bw
+        n_shards = shard_map.get(bucket, 1)
+        rows = {c: [] for c in out_cols}
+        send = np.frombuffer(pdf.iloc[0]["pay1"], dtype=np.float64)
+        chunks = [
+            (cno, arrs)
+            for cno, arrs in load_bucket_chunks(block_dir, bucket)
+            if cno % n_shards == g2
+        ]
+        _emit_scatter(
+            rows, send, chunks, base, bucket, bw, nb, bucket_edges,
+            reducer, use_weights,
+        )
+        return pd.DataFrame(rows)
 
     def make_udf(iteration: int):
         # single-input grouped UDF (state + message rows share the schema,
@@ -565,139 +781,30 @@ def run_fused(
             rows["active"].append(int(active))
             rows["nrows"].append(width)
 
-            if send is not None and reducer == "labelvote":
-                if not np.isnan(send).all():
-                    for chunk in load_bucket_chunks(block_dir, bucket):
-                        src_ids, dst_ids, dst_offsets, src_idx, weights = (
-                            chunk
-                        )
-                        lab_pe = send[src_ids - base][src_idx]
-                        w_pe = (
-                            weights
-                            if use_weights
-                            else np.ones(len(lab_pe), dtype=np.float64)
-                        )
-                        dst_pe = np.repeat(
-                            dst_ids, np.diff(dst_offsets)
-                        )
-                        sent = ~np.isnan(lab_pe)
-                        if not sent.all():
-                            lab_pe = lab_pe[sent]
-                            w_pe = w_pe[sent]
-                            dst_pe = dst_pe[sent]
-                        if len(dst_pe) == 0:
-                            continue
-                        # map-side combine per (dst, label): early
-                        # supersteps see unique labels (no reduction),
-                        # late supersteps collapse most vote traffic
-                        order = np.lexsort((lab_pe, dst_pe))
-                        sd = dst_pe[order]
-                        sl2 = lab_pe[order]
-                        sw2 = w_pe[order]
-                        newg = np.r_[
-                            True,
-                            (sd[1:] != sd[:-1]) | (sl2[1:] != sl2[:-1]),
-                        ]
-                        gstarts = np.nonzero(newg)[0]
-                        gd = sd[gstarts]
-                        gl = sl2[gstarts]
-                        gw = np.add.reduceat(sw2, gstarts)
-                        gd_local = (gd % bw).astype(np.int32)
-                        cut = np.searchsorted(gd, bucket_edges)
-                        lo = 0
-                        for b in range(nb):
-                            hi = cut[b]
-                            if hi > lo:
-                                rows["kind"].append(1)
-                                rows["bucket"].append(b)
-                                rows["pay1"].append(
-                                    gd_local[lo:hi].tobytes()
-                                )
-                                rows["pay2"].append(gl[lo:hi].tobytes())
-                                rows["pay3"].append(gw[lo:hi].tobytes())
-                                rows["l1"].append(0.0)
-                                rows["active"].append(bucket)
-                                rows["nrows"].append(int(hi - lo))
-                            lo = hi
-            elif send is not None:
-                n_nan = int(np.isnan(send).sum())
-                if n_nan < len(send):
-                    all_sent = n_nan == 0 and not use_weights
-                    for chunk in load_bucket_chunks(block_dir, bucket):
-                        src_ids, dst_ids, dst_offsets, src_idx, weights = chunk
-                        per_edge = send[src_ids - base][src_idx]
-                        if use_weights:
-                            per_edge = per_edge * weights
-                            per_edge[~np.isfinite(per_edge)] = np.nan
-                        starts = dst_offsets[:-1]
-                        if all_sent:
-                            # fast path (every vertex sends — the common
-                            # case for power iterations before the
-                            # frontier thins): skip the sent-mask and its
-                            # three O(E) temporaries entirely
-                            if reducer == "sum":
-                                accm = np.add.reduceat(per_edge, starts)
-                            elif reducer == "count":
-                                accm = np.diff(dst_offsets).astype(
-                                    np.float64
-                                )
-                            elif reducer == "min":
-                                accm = np.minimum.reduceat(
-                                    per_edge, starts
-                                )
-                            else:
-                                accm = np.maximum.reduceat(
-                                    per_edge, starts
-                                )
-                            verts = dst_ids
-                            vals = accm
-                        else:
-                            sent = ~np.isnan(per_edge)
-                            if not sent.any():
-                                continue
-                            cnts = np.add.reduceat(
-                                sent.astype(np.float64), starts
-                            )
-                            touched = cnts > 0
-                            if reducer == "sum":
-                                accm = np.add.reduceat(
-                                    np.where(sent, per_edge, 0.0), starts
-                                )
-                            elif reducer == "count":
-                                accm = cnts
-                            elif reducer == "min":
-                                accm = np.minimum.reduceat(
-                                    np.where(sent, per_edge, np.inf),
-                                    starts,
-                                )
-                            else:
-                                accm = np.maximum.reduceat(
-                                    np.where(sent, per_edge, -np.inf),
-                                    starts,
-                                )
-                            verts = dst_ids[touched]
-                            vals = accm[touched]
-                        # vectorized bucket-local id conversion: one mod
-                        # + one astype over the whole array, then slice
-                        verts_local = (verts % bw).astype(np.int32)
-                        cut = np.searchsorted(verts, bucket_edges)
-                        lo = 0
-                        for b in range(nb):
-                            hi = cut[b]
-                            if hi > lo:
-                                rows["kind"].append(1)
-                                rows["bucket"].append(b)
-                                rows["pay1"].append(
-                                    verts_local[lo:hi].tobytes()
-                                )
-                                rows["pay2"].append(vals[lo:hi].tobytes())
-                                rows["pay3"].append(b"")
-                                rows["l1"].append(0.0)
-                                # sender bucket: the deterministic
-                                # combine-order key on the receive side
-                                rows["active"].append(bucket)
-                                rows["nrows"].append(int(hi - lo))
-                            lo = hi
+            if send is not None:
+                n_shards = shard_map.get(bucket, 0)
+                if n_shards > 1:
+                    # hub bucket: don't scatter serially here — emit one
+                    # kind-2 shard job per shard (pay1 = the dense send
+                    # array); the shard stage scatters its chunk subset
+                    # in parallel tasks. Skip entirely when nothing sends.
+                    if not bool(np.isnan(send).all()):
+                        blob = send.tobytes()
+                        for s in range(n_shards):
+                            rows["kind"].append(2)
+                            rows["bucket"].append(bucket)
+                            rows["pay1"].append(blob)
+                            rows["pay2"].append(b"")
+                            rows["pay3"].append(b"")
+                            rows["l1"].append(0.0)
+                            rows["active"].append(s)  # shard id
+                            rows["nrows"].append(0)
+                else:
+                    _emit_scatter(
+                        rows, send, load_bucket_chunks(block_dir, bucket),
+                        base, bucket, bw, nb, bucket_edges, reducer,
+                        use_weights,
+                    )
             return pd.DataFrame(rows)
 
         return udf
@@ -748,8 +855,10 @@ def run_fused(
     # 64 partitions). The blob exchange needs at most one partition per
     # bucket, so size the loop's shuffles to the bucket count.
     parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    loop_parts = nb + sum(shard_map.values())  # buckets + hub shard tasks
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(parts_before), nb))
+        "spark.sql.shuffle.partitions",
+        str(min(int(parts_before), loop_parts)),
     )
 
     def _obs_metrics(obs_name: str):
@@ -781,6 +890,17 @@ def run_fused(
                     out = cur.groupby("bucket").applyInPandas(
                         make_udf(it), FUSED_SCHEMA
                     )
+                    if shard_map:
+                        # second grouped stage: hub shard jobs (kind 2)
+                        # fan out to (bucket, shard) tasks; everything
+                        # else passes through the same exchange
+                        out = out.groupby(
+                            F.col("bucket"),
+                            F.when(F.col("kind") == 2, F.col("active"))
+                            .otherwise(F.lit(-1))
+                            .cast("int")
+                            .alias("g2"),
+                        ).applyInPandas(shard_udf, FUSED_SCHEMA)
                     obs = Observation(f"fused_{it}_{chunk_no}")
                     out = out.observe(obs, *_obs_metrics(f"fused_{it}"))
                     observations.append((it, obs))

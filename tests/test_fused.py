@@ -117,3 +117,74 @@ def test_fused_l1_convergence_and_metrics(spark):
     l1s = [m["l1"] for m in out.metrics]
     assert l1s[-1] <= l1s[1]
     assert all(m["rows"] == n for m in out.metrics)
+
+
+def _hub_graph(spark, n=400, seed=5):
+    """Power-law-ish graph with one mega-hub: node 0 links to EVERY
+    other node (≈ |E|/2 of the edge mass in one range bucket) plus
+    random background edges."""
+    rnd = random.Random(seed)
+    edges = {(0, t) for t in range(1, n)}
+    while len(edges) < n * 2:
+        a, b = rnd.randrange(n), rnd.randrange(n)
+        if a != b:
+            edges.add((a, b))
+    el = [
+        (f"{a:04d}", f"{b:04d}", round(rnd.uniform(0.5, 2.0), 3))
+        for a, b in sorted(edges)
+    ]
+    return from_edge_list(
+        spark, el, node_ids=[f"{i:04d}" for i in range(n)]
+    ), n
+
+
+def test_fused_hub_sharding_exact(spark):
+    """A hub bucket scattered as parallel shards must reproduce the
+    unsharded kernel's scores bit-for-bit (disjoint dst runs per chunk
+    → exact partial sums, deterministic combine order)."""
+    g, n = _hub_graph(spark)
+    for weighted in (False, True):
+        plain = build_bucketed_csr(g.edges, n, n_buckets=4)
+        sharded = build_bucketed_csr(
+            g.edges, n, n_buckets=4, hub_shard_edges=40
+        )
+        assert sharded.shard_map, "hub bucket was not detected"
+        assert max(sharded.shard_map.values()) >= 2
+        kw = dict(tolerance=0.0, max_iterations=8, weighted=weighted)
+        a = {
+            r["internal_id"]: r["score"]
+            for r in pagerank(g, csr=plain, **kw).scores.collect()
+        }
+        b = {
+            r["internal_id"]: r["score"]
+            for r in pagerank(g, csr=sharded, **kw).scores.collect()
+        }
+        assert set(a) == set(b)
+        assert max(abs(a[k] - b[k]) for k in a) == 0.0
+        plain.cleanup()
+        sharded.cleanup()
+
+
+def test_fused_hub_sharding_labelvote(spark):
+    """Sharded scatter with the labelvote reducer (label propagation)
+    matches the unsharded run exactly."""
+    from graph_data_science_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    g, n = _hub_graph(spark, seed=9)
+    plain = {
+        (r["internal_id"], r["label"])
+        for r in label_propagation(g, max_iterations=5).collect()
+    }
+    import os
+
+    os.environ["GDS_HUB_SHARD_EDGES"] = "40"
+    try:
+        sharded = {
+            (r["internal_id"], r["label"])
+            for r in label_propagation(g, max_iterations=5).collect()
+        }
+    finally:
+        del os.environ["GDS_HUB_SHARD_EDGES"]
+    assert plain == sharded
