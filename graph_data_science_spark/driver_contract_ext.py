@@ -2627,6 +2627,23 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppm_resize_stats(media, width=PPM_OUT_W, height=PPM_OUT_H)
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gradient pixels as multimodal_image, but compressed through
+    the dependency-free PNG codec (stdlib zlib; scanline filter cycles
+    id % 5, so this one row exercises every unfilter path): decode_png
+    -> area-average downscale -> integer pixel stats. The oracle is the
+    SAME pixel replay — the codec must be lossless."""
+    from .driver_contract import _documents
+    from .pipeline.multimodal import (
+        png_resize_stats,
+        synthesize_gradient_png,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id")
+    media = synthesize_gradient_png(ids, width=PPM_W, height=PPM_H)
+    return png_resize_stats(media, width=PPM_OUT_W, height=PPM_OUT_H)
+
+
 def sql_multimodal_image() -> str:
     fy, fx = PPM_H // PPM_OUT_H, PPM_W // PPM_OUT_W
     return f"""
@@ -3514,6 +3531,7 @@ def ext_queries() -> dict:
         # multimodal binary columns (exact integer-replay oracles)
         "multimodal_audio": q_multimodal_audio,
         "multimodal_image": q_multimodal_image,
+        "multimodal_png": q_multimodal_png,
         # BPE tokenizer (distributed counts exact; train/encode validity)
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_validity": q_bpe_validity,
@@ -3601,6 +3619,7 @@ def ext_oracle_sql() -> dict:
         "unigram_logprob": sql_unigram_logprob(),
         "multimodal_audio": sql_multimodal_audio(),
         "multimodal_image": sql_multimodal_image(),
+        "multimodal_png": sql_multimodal_image(),
         "bpe_word_counts": sql_bpe_word_counts(),
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),

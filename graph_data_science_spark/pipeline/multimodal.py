@@ -4,16 +4,17 @@ columns with typed metadata.
 The Spark side (schemas, partition-aware batching, Arrow UDF signatures)
 is real and tested. Codecs come in two tiers:
 
-- **Real, pure-numpy decoders for uncompressed formats** — WAV/PCM audio
-  (RIFF parse, 8/16/32-bit, multi-channel -> mono) and PPM/PGM images
-  (P6/P5 binary) — so decode / feature-extract / resize run end-to-end
-  on genuine payloads with no external library. ``extract_features``
-  sniffs the payload magic and uses them automatically.
-- **Compressed formats (JPEG/PNG/MP3/MP4) stay STUBBED** — this
-  container ships no PIL/ffmpeg; the deterministic fake runs behind
-  ``use_stub=True`` and anything else raises ``NotImplementedError``.
-  Swap ``_decode_image_stub`` for the codec call on a real cluster;
-  nothing else changes.
+- **Real, dependency-free decoders** — WAV/PCM audio (RIFF parse,
+  8/16/32-bit, multi-channel -> mono), PPM/PGM images (P6/P5 binary),
+  and PNG (stdlib zlib inflate + all five scanline unfilters, colortypes
+  0/2/4/6 at bitdepth 8) — so decode / feature-extract / resize run
+  end-to-end on genuine payloads, including a real compressed format,
+  with no external library. ``extract_features`` sniffs the payload
+  magic and uses them automatically.
+- **JPEG/MP3/MP4 stay STUBBED** — this container ships no PIL/ffmpeg;
+  the deterministic fake runs behind ``use_stub=True`` and anything
+  else raises ``NotImplementedError``. Swap ``_decode_image_stub`` for
+  the codec call on a real cluster; nothing else changes.
 """
 
 from __future__ import annotations
@@ -59,10 +60,10 @@ def extract_features(
     """Per-item feature vector via ``mapInPandas`` (Arrow batches; numpy
     inside): dim-bucket mean-pool of the decoded sample/pixel stream.
 
-    Payload magic is sniffed per item: RIFF/WAVE and PPM/PGM payloads go
-    through the REAL pure-numpy decoders; anything else uses the
-    deterministic stub when ``use_stub=True`` and raises otherwise
-    (compressed codecs need PIL/ffmpeg, absent in this container)."""
+    Payload magic is sniffed per item: RIFF/WAVE, PPM/PGM and PNG
+    payloads go through the REAL dependency-free decoders; anything else
+    uses the deterministic stub when ``use_stub=True`` and raises
+    otherwise (JPEG/MP3/MP4 need PIL/ffmpeg, absent in this container)."""
 
     def _decode(payload: bytes, width: int, height: int) -> np.ndarray:
         kind = _sniff(payload)
@@ -71,10 +72,12 @@ def extract_features(
             return x.astype(np.float32)
         if kind == "ppm":
             return decode_ppm(payload).astype(np.float32).ravel()
+        if kind == "png":
+            return decode_png(payload).astype(np.float32).ravel()
         if not use_stub:
             raise NotImplementedError(
-                "compressed media decoding requires PIL/ffmpeg — not in "
-                "this container (WAV/PPM decode natively)"
+                "JPEG/MP3/MP4 decoding requires PIL/ffmpeg — not in "
+                "this container (WAV/PPM/PNG decode natively)"
             )
         return _decode_image_stub(payload, width, height)
 
@@ -260,11 +263,161 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return a.reshape((h, w, 3) if ch == 3 else (h, w)).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> channel count (bitdepth 8 only; palette (3) unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec 9.4) over int arrays."""
+    p = a + b - c
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """uint8 (h, w) gray / (h, w, 2) gray+alpha / (h, w, 3) RGB /
+    (h, w, 4) RGBA -> PNG bytes. Pure stdlib zlib + numpy — no image
+    library. ``filter_type`` (0..4) applies that PNG scanline filter to
+    every row (all five are vectorized on encode; exercising them pins
+    the decoder's unfilter paths)."""
+    import zlib as _zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if colortype is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("filter_type must be 0..4")
+    cur = a.reshape(h, w * ch).astype(np.int32)
+    prev = np.zeros((h, w * ch), dtype=np.int32)
+    prev[1:] = cur[:-1]
+    left = np.zeros_like(cur)
+    left[:, ch:] = cur[:, :-ch]
+    upleft = np.zeros_like(cur)
+    upleft[1:, ch:] = cur[:-1, :-ch]
+    if filter_type == 0:
+        raw = cur
+    elif filter_type == 1:
+        raw = cur - left
+    elif filter_type == 2:
+        raw = cur - prev
+    elif filter_type == 3:
+        raw = cur - ((left + prev) >> 1)
+    else:
+        raw = cur - _paeth_vec(left, prev, upleft)
+    raw = (raw % 256).astype(np.uint8)
+    scan = np.empty((h, w * ch + 1), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = raw
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array (h, w) for grayscale, (h, w, ch) otherwise.
+    Pure stdlib zlib + numpy: parses chunks, inflates IDAT, reverses all
+    five scanline filters (None/Sub/Up vectorized; Average/Paeth walk
+    the row — their left-neighbor dependency is inherently sequential).
+    Bitdepth 8, colortypes 0/2/4/6, no interlace; palette PNGs raise
+    ``NotImplementedError``."""
+    import struct
+    import zlib as _zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    ch = 0
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+            if colortype not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG colortype {colortype}")
+            ch = _PNG_CHANNELS[colortype]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    flat = np.frombuffer(_zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    scan = flat.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(scan[y, 0])
+        raw = scan[y, 1:].astype(np.int32)
+        if ft == 0:
+            cur = raw
+        elif ft == 1:  # Sub: recon = running sum per channel, mod 256
+            cur = np.cumsum(raw.reshape(w, ch), axis=0).ravel() % 256
+        elif ft == 2:  # Up
+            cur = (raw + prev) % 256
+        elif ft == 3:  # Average
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (raw[i] + ((left + prev[i]) >> 1)) % 256
+        elif ft == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                cur[i] = (raw[i] + int(_paeth_vec(
+                    np.int32(left), prev[i], np.int32(ul)
+                ))) % 256
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = cur
+        prev = cur
+    img = out.astype(np.uint8)
+    return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
+
+
 def _sniff(payload: bytes) -> str:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:2] in (b"P6", b"P5"):
         return "ppm"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     return "unknown"
 
 
@@ -519,6 +672,77 @@ def ppm_resize_stats(
                 pdf["media_id"].to_numpy(np.int64), pdf["payload"]
             ):
                 img = _area_resize(decode_ppm(bytes(payload)), width, height)
+                rows.append(
+                    (
+                        int(mid), img.shape[1], img.shape[0],
+                        int(img.astype(np.int64).sum()),
+                        int(img.min()), int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_width", "out_height", "pixel_sum",
+                    "pixel_min", "pixel_max",
+                ],
+            )
+
+    return media.mapInPandas(
+        rz,
+        "media_id long, out_width long, out_height long, pixel_sum long, "
+        "pixel_min long, pixel_max long",
+    )
+
+
+def synthesize_gradient_png(
+    ids: DataFrame, *, width: int = 32, height: int = 24,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One real PNG payload per id — the SAME gradient pixels as
+    :func:`synthesize_gradient_ppm` (``(3x + 7y + 11c + d) mod 256``),
+    compressed through stdlib zlib. The scanline filter cycles with the
+    id (``d mod 5``), so a corpus-level oracle run exercises every PNG
+    unfilter path (None/Sub/Up/Average/Paeth) against exact pixels."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(height, dtype=np.int64)[:, None, None]
+        x = np.arange(width, dtype=np.int64)[None, :, None]
+        c = np.arange(3, dtype=np.int64)[None, None, :]
+        base = 3 * x + 7 * y + 11 * c
+        for pdf in it:
+            out = []
+            for d in pdf[id_col].to_numpy(np.int64):
+                img = ((base + int(d)) % 256).astype(np.uint8)
+                payload = encode_png(img, filter_type=int(d) % 5)
+                out.append(
+                    (int(d), "image", payload, width, height, 0, 0)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "sample_rate", "duration_ms",
+                ],
+            )
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def png_resize_stats(
+    media: DataFrame, *, width: int, height: int
+) -> DataFrame:
+    """Same stats surface as :func:`ppm_resize_stats`, over PNG payloads:
+    decode_png -> area-average downscale -> integer pixel stats."""
+
+    def rz(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(np.int64), pdf["payload"]
+            ):
+                img = _area_resize(decode_png(bytes(payload)), width, height)
                 rows.append(
                     (
                         int(mid), img.shape[1], img.shape[0],

@@ -113,3 +113,82 @@ def test_extract_features_unknown_raises_without_stub(spark):
         extract_features(fake, use_stub=False).collect()
     # stub path still works for unknown payloads
     assert extract_features(fake, use_stub=True).count() == 3
+
+
+class TestPngCodec:
+    def test_roundtrip_all_filters_and_colortypes(self):
+        import numpy as np
+
+        from graph_data_science_spark.pipeline.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(5)
+        for ch in (1, 2, 3, 4):
+            shape = (13, 17) if ch == 1 else (13, 17, ch)
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for ft in range(5):
+                out = decode_png(encode_png(img, filter_type=ft))
+                assert out.shape == img.shape, (ch, ft)
+                assert (out == img).all(), (ch, ft)
+
+    def test_compression_is_real_and_sniffed(self):
+        import numpy as np
+
+        from graph_data_science_spark.pipeline.multimodal import (
+            _sniff,
+            encode_png,
+        )
+
+        flat = np.zeros((64, 64, 3), dtype=np.uint8)  # compresses hard
+        payload = encode_png(flat)
+        assert _sniff(payload) == "png"
+        assert len(payload) < flat.size // 10
+
+    def test_palette_rejected(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from graph_data_science_spark.pipeline.multimodal import (
+            _PNG_SIG,
+            _png_chunk,
+            decode_png,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # colortype 3
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(payload)
+
+    def test_gradient_png_stats_match_ppm(self, spark):
+        """PNG and PPM paths over the same gradient must produce
+        identical resize stats (the codec is lossless)."""
+        from graph_data_science_spark.pipeline.multimodal import (
+            png_resize_stats,
+            ppm_resize_stats,
+            synthesize_gradient_png,
+            synthesize_gradient_ppm,
+        )
+
+        ids = spark.range(40).selectExpr("id AS doc_id")
+        a = sorted(
+            tuple(r) for r in ppm_resize_stats(
+                synthesize_gradient_ppm(ids, width=32, height=24),
+                width=8, height=6,
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in png_resize_stats(
+                synthesize_gradient_png(ids, width=32, height=24),
+                width=8, height=6,
+            ).collect()
+        )
+        assert a == b
