@@ -1,11 +1,18 @@
 """Superstep checkpointing with per-partition lineage + resume.
 
 Every superstep the vertex-state DataFrame is written to the checkpoint
-store (parquet locally; the same API targets an Iceberg table on a real
-cluster — ``state_format='iceberg'`` writes via ``writeTo``), then read
-back. This simultaneously (a) truncates the growing iterative plan — the
-#1 Spark iterative-loop hazard — and (b) makes any run resumable from the
-latest complete iteration.
+store as parquet, then read back. This simultaneously (a) truncates the
+growing iterative plan — the #1 Spark iterative-loop hazard — and
+(b) makes any run resumable from the latest complete iteration.
+
+Cluster requirements: ``base_dir`` must be shared storage every executor
+can write AND the driver can list (resume/pruning scan it driver-side
+with ``os.listdir``) — NFS / fuse-DFS / cluster scratch. Verified
+end-to-end by ``tools/cluster_verify.py``: a 2-worker standalone run
+SIGKILLed mid-convergence resumes from this store alone with
+byte-identical final scores. (An Iceberg-table variant would swap the
+parquet write for ``writeTo``/time-travel reads; this repo keeps the
+dependency-free path.)
 
 Lineage schema (per north rule): one row per (iteration, partition_id)
 with rows, delta_norm, wall_time.
