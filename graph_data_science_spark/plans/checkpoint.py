@@ -96,12 +96,25 @@ class CheckpointStore:
     def write_lineage(
         self,
         iteration: int,
-        per_partition: list[tuple[int, int, float]],
+        per_partition: list[tuple],
         wall_time: float,
     ) -> None:
+        """One lineage row per (iteration, partition). ``per_partition``
+        tuples are ``(pid, rows, delta_norm)`` or
+        ``(pid, rows, delta_norm, task_sec)`` — a 4th element records
+        that partition's OWN task wall time (the fused kernel measures
+        it per bucket, so skew/shard balance is visible straight from
+        the lineage table); otherwise every row carries the superstep
+        ``wall_time``."""
         rows = [
-            (iteration, int(pid), int(n), float(dn), float(wall_time))
-            for pid, n, dn in per_partition
+            (
+                iteration,
+                int(t[0]),
+                int(t[1]),
+                float(t[2]),
+                float(t[3]) if len(t) > 3 else float(wall_time),
+            )
+            for t in per_partition
         ]
         if not rows:
             rows = [(iteration, -1, 0, 0.0, float(wall_time))]

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Callable
@@ -61,13 +62,17 @@ from pyspark.sql import DataFrame, functions as F
 from .checkpoint import CheckpointStore, Timer, loop_checkpoint
 from .csr import _build_chunks
 
-# kind 0 = state row (pay1..payK = algorithm state arrays, metrics cols),
+# kind 0 = state row (pay1..payK = algorithm state arrays, metrics cols;
+#   task_sec = the bucket task's own wall time, read into lineage),
 # kind 1 = packed messages (pay1 = int32 bucket-local dst ids, pay2 =
-# float64 values; the "labelvote" reducer additionally ships pay3 =
-# float64 vote weights so a message is a (dst, label, weight) triple)
+#   float64 values; the "labelvote" reducer additionally ships pay3 =
+#   float64 vote weights so a message is a (dst, label, weight) triple),
+# kind 2 = hub shard job (pay1 = dense send array; active = shard id),
+# kind 3 = shard-lineage row (task_sec only — consumed by the checkpoint
+#   lineage read, ignored by the gather)
 FUSED_SCHEMA = (
     "kind int, bucket int, pay1 binary, pay2 binary, pay3 binary, "
-    "l1 double, active long, nrows long"
+    "l1 double, active long, nrows long, task_sec double"
 )
 
 
@@ -476,6 +481,7 @@ def _emit_scatter(
                     rows["l1"].append(0.0)
                     rows["active"].append(bucket)
                     rows["nrows"].append(int(hi - lo))
+                    rows["task_sec"].append(0.0)
                 lo = hi
         return
     n_nan = int(np.isnan(send).sum())
@@ -543,6 +549,7 @@ def _emit_scatter(
                 # the receive side
                 rows["active"].append(bucket)
                 rows["nrows"].append(int(hi - lo))
+                rows["task_sec"].append(0.0)
             lo = hi
 
 
@@ -626,7 +633,8 @@ def run_fused(
     shard_map = csr.shard_map or {}
 
     out_cols = (
-        "kind", "bucket", "pay1", "pay2", "pay3", "l1", "active", "nrows"
+        "kind", "bucket", "pay1", "pay2", "pay3", "l1", "active", "nrows",
+        "task_sec",
     )
 
     def shard_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -639,6 +647,7 @@ def run_fused(
         g2 = int(key[1])
         if g2 < 0:
             return pdf[list(out_cols)]
+        t_task = time.monotonic()
         bucket = int(key[0])
         base = bucket * bw
         n_shards = shard_map.get(bucket, 1)
@@ -653,6 +662,17 @@ def run_fused(
             rows, send, chunks, base, bucket, bw, nb, bucket_edges,
             reducer, use_weights,
         )
+        # kind-3 lineage-only row: this shard task's wall time (ignored
+        # by the gather; read by the checkpoint lineage pass, then dies)
+        rows["kind"].append(3)
+        rows["bucket"].append(bucket)
+        rows["pay1"].append(b"")
+        rows["pay2"].append(b"")
+        rows["pay3"].append(b"")
+        rows["l1"].append(0.0)
+        rows["active"].append(g2)
+        rows["nrows"].append(0)
+        rows["task_sec"].append(time.monotonic() - t_task)
         return pd.DataFrame(rows)
 
     def make_udf(iteration: int):
@@ -679,6 +699,7 @@ def run_fused(
             return _udf_body(key, pdf)
 
         def _udf_body(key, pdf: pd.DataFrame):
+            t_task = time.monotonic()
             bucket = int(key[0])
             base = bucket * bw
             width = min(bw, n_vertices - base)
@@ -780,6 +801,7 @@ def run_fused(
             rows["l1"].append(float(l1))
             rows["active"].append(int(active))
             rows["nrows"].append(width)
+            rows["task_sec"].append(0.0)  # backfilled below
 
             if send is not None:
                 n_shards = shard_map.get(bucket, 0)
@@ -799,12 +821,16 @@ def run_fused(
                             rows["l1"].append(0.0)
                             rows["active"].append(s)  # shard id
                             rows["nrows"].append(0)
+                            rows["task_sec"].append(0.0)
                 else:
                     _emit_scatter(
                         rows, send, load_bucket_chunks(block_dir, bucket),
                         base, bucket, bw, nb, bucket_edges, reducer,
                         use_weights,
                     )
+            # the first row is this bucket's state row: record the task's
+            # own wall time so lineage shows true per-partition balance
+            rows["task_sec"][0] = time.monotonic() - t_task
             return pd.DataFrame(rows)
 
         return udf
@@ -841,6 +867,7 @@ def run_fused(
             F.lit(0.0).alias("l1"),
             F.lit(0).cast("long").alias("active"),
             F.lit(0).cast("long").alias("nrows"),
+            F.lit(0.0).alias("task_sec"),
         )
 
     all_metrics: list[dict] = []
@@ -913,9 +940,14 @@ def run_fused(
                     # the just-written checkpoint (column-pruned scan of
                     # n_buckets tiny rows, negligible)
                     per_bucket = [
-                        (r["bucket"], r["nrows"], float(r["l1"] or 0.0))
-                        for r in cur.filter(F.col("kind") == 0)
-                        .select("bucket", "nrows", "l1")
+                        (
+                            r["bucket"],
+                            r["nrows"],
+                            float(r["l1"] or 0.0),
+                            float(r["task_sec"] or 0.0),
+                        )
+                        for r in cur.filter(F.col("kind").isin(0, 3))
+                        .select("bucket", "nrows", "l1", "task_sec")
                         .collect()
                     ]
                 else:
