@@ -279,14 +279,49 @@ def dijkstra_path(
             F.col("seg_ids").alias("node_ids"),
             F.col("seg_costs").alias("costs"),
         )
-        w = Window.orderBy("target_node")
-        return res.select(
-            (F.row_number().over(w) - 1).cast("long").alias("index"),
-            F.lit(source).cast("long").alias("source_node"),
-            "target_node",
-            "total_cost",
-            "node_ids",
-            "costs",
+        # Global index (rank of target id) WITHOUT a single-partition
+        # window: range-partition by target, rank within each partition
+        # in parallel, then add broadcast per-partition offsets — the
+        # distributed zipWithIndex. Output is deterministic (ranks are
+        # offsets + local ranks over unique targets) even though the
+        # sampled range boundaries are not.
+        res = (
+            res.repartitionByRange(
+                max(res.sparkSession.sparkContext.defaultParallelism, 2),
+                "target_node",
+            )
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        wp = Window.partitionBy("__pid").orderBy("target_node")
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in res.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = F.broadcast(
+            res.sparkSession.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()],
+                "__pid int, __off long",
+            )
+        )
+        return (
+            res.join(off_df, "__pid")
+            .select(
+                (F.row_number().over(wp) - 1 + F.col("__off"))
+                .cast("long")
+                .alias("index"),
+                F.lit(source).cast("long").alias("source_node"),
+                "target_node",
+                "total_cost",
+                "node_ids",
+                "costs",
+            )
         )
     # Short explicit target list: reconstruct from ONE collected
     # predecessor pass over the targets' ancestor closure.
