@@ -2644,6 +2644,42 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_resize_stats(media, width=PPM_OUT_W, height=PPM_OUT_H)
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grayscale constant-8×8-tile images through the dependency-free
+    baseline JPEG codec (pipeline/jpeg.py). JPEG is lossy, but
+    even-valued constant tiles survive bit-exactly at quality 50 (a
+    constant block has DC = 8·(v−128), zero AC, and Annex-K q[0,0] is
+    16), so the oracle replays the decoded pixels in SQL exactly:
+    encode_jpeg -> decode_jpeg -> area-average downscale -> stats."""
+    from .driver_contract import _documents
+    from .pipeline.multimodal import (
+        jpeg_resize_stats,
+        synthesize_tiled_jpeg,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id")
+    media = synthesize_tiled_jpeg(ids, width=PPM_W, height=PPM_H)
+    return jpeg_resize_stats(media, width=PPM_OUT_W, height=PPM_OUT_H)
+
+
+def sql_multimodal_jpeg() -> str:
+    fy, fx = PPM_H // PPM_OUT_H, PPM_W // PPM_OUT_W
+    return f"""
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+px AS (SELECT media_id, y.y, x.x,
+       ((5 * (x.x // 8) + 9 * (y.y // 8) + media_id) % 128) * 2 AS v
+       FROM ids, UNNEST(range(0, {PPM_H})) AS y(y),
+            UNNEST(range(0, {PPM_W})) AS x(x)),
+rs AS (SELECT media_id, y // {fy} AS by, x // {fx} AS bx,
+       SUM(v) // {fy * fx} AS rv
+       FROM px GROUP BY 1, 2, 3)
+SELECT media_id, {PPM_OUT_W} AS out_width, {PPM_OUT_H} AS out_height,
+       CAST(SUM(rv) AS BIGINT) AS pixel_sum,
+       MIN(rv) AS pixel_min, MAX(rv) AS pixel_max
+FROM rs GROUP BY media_id
+"""
+
+
 def sql_multimodal_image() -> str:
     fy, fx = PPM_H // PPM_OUT_H, PPM_W // PPM_OUT_W
     return f"""
@@ -3532,6 +3568,7 @@ def ext_queries() -> dict:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_image": q_multimodal_image,
         "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
         # BPE tokenizer (distributed counts exact; train/encode validity)
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_validity": q_bpe_validity,
@@ -3620,6 +3657,7 @@ def ext_oracle_sql() -> dict:
         "multimodal_audio": sql_multimodal_audio(),
         "multimodal_image": sql_multimodal_image(),
         "multimodal_png": sql_multimodal_image(),
+        "multimodal_jpeg": sql_multimodal_jpeg(),
         "bpe_word_counts": sql_bpe_word_counts(),
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),

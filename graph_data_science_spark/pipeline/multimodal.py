@@ -4,17 +4,19 @@ columns with typed metadata.
 The Spark side (schemas, partition-aware batching, Arrow UDF signatures)
 is real and tested. Codecs come in two tiers:
 
-- **Real, dependency-free decoders** — WAV/PCM audio (RIFF parse,
+- **Real, dependency-free codecs** — WAV/PCM audio (RIFF parse,
   8/16/32-bit, multi-channel -> mono), PPM/PGM images (P6/P5 binary),
-  and PNG (stdlib zlib inflate + all five scanline unfilters, colortypes
-  0/2/4/6 at bitdepth 8) — so decode / feature-extract / resize run
-  end-to-end on genuine payloads, including a real compressed format,
-  with no external library. ``extract_features`` sniffs the payload
-  magic and uses them automatically.
-- **JPEG/MP3/MP4 stay STUBBED** — this container ships no PIL/ffmpeg;
-  the deterministic fake runs behind ``use_stub=True`` and anything
-  else raises ``NotImplementedError``. Swap ``_decode_image_stub`` for
-  the codec call on a real cluster; nothing else changes.
+  PNG (stdlib zlib inflate + all five scanline unfilters, colortypes
+  0/2/4/6 at bitdepth 8), and baseline JPEG (full encoder + decoder in
+  :mod:`.jpeg`: Annex-K tables, vectorized DCT/IDCT, 4:4:4 and 4:2:0,
+  restart markers) — so decode / feature-extract / resize run
+  end-to-end on genuine payloads, including lossless AND lossy
+  compressed formats, with no external library. ``extract_features``
+  sniffs the payload magic and uses them automatically.
+- **MP3/MP4 stay STUBBED** — this container ships no ffmpeg; the
+  deterministic fake runs behind ``use_stub=True`` and anything else
+  raises ``NotImplementedError``. Swap ``_decode_image_stub`` for the
+  codec call on a real cluster; nothing else changes.
 """
 
 from __future__ import annotations
@@ -60,10 +62,11 @@ def extract_features(
     """Per-item feature vector via ``mapInPandas`` (Arrow batches; numpy
     inside): dim-bucket mean-pool of the decoded sample/pixel stream.
 
-    Payload magic is sniffed per item: RIFF/WAVE, PPM/PGM and PNG
-    payloads go through the REAL dependency-free decoders; anything else
-    uses the deterministic stub when ``use_stub=True`` and raises
-    otherwise (JPEG/MP3/MP4 need PIL/ffmpeg, absent in this container)."""
+    Payload magic is sniffed per item: RIFF/WAVE, PPM/PGM, PNG and
+    baseline JPEG payloads go through the REAL dependency-free decoders
+    (see :mod:`.jpeg` for the JPEG scope); anything else uses the
+    deterministic stub when ``use_stub=True`` and raises otherwise
+    (MP3/MP4 need ffmpeg, absent in this container)."""
 
     def _decode(payload: bytes, width: int, height: int) -> np.ndarray:
         kind = _sniff(payload)
@@ -74,10 +77,14 @@ def extract_features(
             return decode_ppm(payload).astype(np.float32).ravel()
         if kind == "png":
             return decode_png(payload).astype(np.float32).ravel()
+        if kind == "jpeg":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload).astype(np.float32).ravel()
         if not use_stub:
             raise NotImplementedError(
-                "JPEG/MP3/MP4 decoding requires PIL/ffmpeg — not in "
-                "this container (WAV/PPM/PNG decode natively)"
+                "MP3/MP4 decoding requires ffmpeg — not in this "
+                "container (WAV/PPM/PNG/JPEG decode natively)"
             )
         return _decode_image_stub(payload, width, height)
 
@@ -130,13 +137,47 @@ def extract_features(
 def resize_images(
     media: DataFrame, *, width: int, height: int, use_stub: bool = True
 ) -> DataFrame:
-    """Resize = re-encode with new dims. Stubbed: payload passthrough with
-    updated metadata (the real implementation re-encodes in the same UDF)."""
-    if not use_stub:
-        raise NotImplementedError("real resize requires an image codec")
-    return media.withColumn("width", F.lit(width)).withColumn(
-        "height", F.lit(height)
-    )
+    """Resize images to ``(width, height)``.
+
+    ``use_stub=True`` (metadata-only passthrough) is kept for payloads
+    in formats with no native codec. With ``use_stub=False`` each PPM /
+    PNG / baseline-JPEG payload is decoded, area-average resized and
+    re-encoded in its ORIGINAL format inside one ``mapInPandas`` stage
+    (Arrow batches, numpy inside); unknown formats raise."""
+    if use_stub:
+        return media.withColumn("width", F.lit(width)).withColumn(
+            "height", F.lit(height)
+        )
+
+    def rz(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in it:
+            payloads = []
+            for payload in pdf["payload"]:
+                payload = bytes(payload)
+                kind = _sniff(payload)
+                if kind == "ppm":
+                    img = _area_resize(decode_ppm(payload), width, height)
+                    payloads.append(encode_ppm(img))
+                elif kind == "png":
+                    img = _area_resize(decode_png(payload), width, height)
+                    payloads.append(encode_png(img))
+                elif kind == "jpeg":
+                    img = _area_resize(decode_jpeg(payload), width, height)
+                    payloads.append(encode_jpeg(img))
+                else:
+                    raise NotImplementedError(
+                        f"resize of {kind!r} payloads (MP3/MP4 need "
+                        "ffmpeg; WAV is not an image)"
+                    )
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.mapInPandas(rz, media.schema)
 
 
 def sample_frames(
@@ -418,6 +459,8 @@ def _sniff(payload: bytes) -> str:
         return "ppm"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
 
 
@@ -743,6 +786,88 @@ def png_resize_stats(
                 pdf["media_id"].to_numpy(np.int64), pdf["payload"]
             ):
                 img = _area_resize(decode_png(bytes(payload)), width, height)
+                rows.append(
+                    (
+                        int(mid), img.shape[1], img.shape[0],
+                        int(img.astype(np.int64).sum()),
+                        int(img.min()), int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_width", "out_height", "pixel_sum",
+                    "pixel_min", "pixel_max",
+                ],
+            )
+
+    return media.mapInPandas(
+        rz,
+        "media_id long, out_width long, out_height long, pixel_sum long, "
+        "pixel_min long, pixel_max long",
+    )
+
+
+def synthesize_tiled_jpeg(
+    ids: DataFrame, *, width: int = 32, height: int = 24,
+    id_col: str = "doc_id", quality: int = 50,
+) -> DataFrame:
+    """One real baseline-JPEG payload per id: a grayscale image of
+    constant 8×8 tiles, tile ``(ty, tx)`` = ``((5·tx + 9·ty + d) mod
+    128) · 2``. Even-valued constant tiles survive JPEG bit-exactly at
+    quality 50 (see :mod:`.jpeg` module docstring), so the decoded
+    pixels are SQL-replayable — the oracle-exactness trick that PPM/PNG
+    get from losslessness, engineered here for a lossy codec."""
+    from .jpeg import encode_jpeg
+
+    if width % 8 or height % 8:
+        raise ValueError("tiled JPEG dims must be multiples of 8")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ty = np.arange(height // 8, dtype=np.int64)[:, None]
+        tx = np.arange(width // 8, dtype=np.int64)[None, :]
+        base = 5 * tx + 9 * ty
+        for pdf in it:
+            out = []
+            for d in pdf[id_col].to_numpy(np.int64):
+                tiles = ((base + int(d)) % 128) * 2
+                img = np.repeat(
+                    np.repeat(tiles, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                payload = encode_jpeg(img, quality=quality)
+                out.append(
+                    (int(d), "image", payload, width, height, 0, 0)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "sample_rate", "duration_ms",
+                ],
+            )
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def jpeg_resize_stats(
+    media: DataFrame, *, width: int, height: int
+) -> DataFrame:
+    """Same stats surface as :func:`ppm_resize_stats`, over baseline
+    JPEG payloads: decode_jpeg -> area-average downscale -> integer
+    pixel stats."""
+    from .jpeg import decode_jpeg
+
+    def rz(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(np.int64), pdf["payload"]
+            ):
+                img = _area_resize(
+                    decode_jpeg(bytes(payload)), width, height
+                )
                 rows.append(
                     (
                         int(mid), img.shape[1], img.shape[0],

@@ -109,7 +109,7 @@ def test_extract_features_unknown_raises_without_stub(spark):
     from graph_data_science_spark.pipeline.multimodal import synthesize_media
 
     fake = synthesize_media(spark, 3)  # sha256 payloads: no magic
-    with pytest.raises(Exception, match="PIL/ffmpeg"):
+    with pytest.raises(Exception, match="ffmpeg"):
         extract_features(fake, use_stub=False).collect()
     # stub path still works for unknown payloads
     assert extract_features(fake, use_stub=True).count() == 3
@@ -192,3 +192,190 @@ class TestPngCodec:
             ).collect()
         )
         assert a == b
+
+
+class TestJpegCodec:
+    @staticmethod
+    def _psnr(a, b):
+        import numpy as np
+
+        mse = np.mean(
+            (a.astype(np.float64) - b.astype(np.float64)) ** 2
+        )
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    def test_constant_even_tiles_exact_at_q50(self):
+        """The oracle-exactness contract: grayscale constant 8x8 tiles
+        with even values survive encode->decode bit-exactly at quality
+        50 (same formula as the multimodal_jpeg contract row)."""
+        import numpy as np
+
+        from graph_data_science_spark.pipeline.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        ty = np.arange(3)[:, None]
+        tx = np.arange(4)[None, :]
+        for d in (0, 7, 123, 100_000):
+            tiles = ((5 * tx + 9 * ty + d) % 128) * 2
+            img = np.repeat(np.repeat(tiles, 8, 0), 8, 1).astype(
+                np.uint8
+            )
+            out = decode_jpeg(encode_jpeg(img, quality=50))
+            assert out.dtype == np.uint8 and out.shape == img.shape
+            assert np.array_equal(out, img), d
+
+    def test_gray_and_rgb_roundtrip_psnr(self):
+        import numpy as np
+
+        from graph_data_science_spark.pipeline.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        h, w = 48, 64
+        y, x = np.mgrid[0:h, 0:w]
+        gray = (128 + 100 * np.sin(x / 9) * np.cos(y / 7)).astype(
+            np.uint8
+        )
+        out = decode_jpeg(encode_jpeg(gray, quality=90))
+        assert self._psnr(gray, out) > 40
+        rgb = np.stack(
+            [
+                (128 + 100 * np.sin(x / 20)).astype(np.uint8),
+                (128 + 100 * np.sin(y / 15)).astype(np.uint8),
+                (128 + 80 * np.cos((x + y) / 25)).astype(np.uint8),
+            ],
+            axis=2,
+        )
+        out444 = decode_jpeg(encode_jpeg(rgb, quality=90, subsample="444"))
+        out420 = decode_jpeg(encode_jpeg(rgb, quality=90, subsample="420"))
+        assert self._psnr(rgb, out444) > 38
+        # 4:2:0 halves chroma resolution; smooth chroma stays close
+        assert self._psnr(rgb, out420) > 33
+
+    def test_non_multiple_of_8_dims(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+
+        from graph_data_science_spark.pipeline.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        del rng
+        y, x = np.mgrid[0:19, 0:29]
+        img = np.stack(
+            [
+                (128 + 100 * np.sin(x / 10)).astype(np.uint8),
+                (128 + 100 * np.sin(y / 8)).astype(np.uint8),
+                (128 + 80 * np.cos((x + y) / 12)).astype(np.uint8),
+            ],
+            axis=2,
+        )
+        for sub in ("444", "420"):
+            out = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+            assert out.shape == img.shape, sub
+            assert self._psnr(img, out) > 30, sub
+
+    def test_progressive_rejected_and_sniffed(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from graph_data_science_spark.pipeline.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from graph_data_science_spark.pipeline.multimodal import _sniff
+
+        payload = encode_jpeg(
+            np.zeros((8, 8), dtype=np.uint8), quality=75
+        )
+        assert _sniff(payload) == "jpeg"
+        # SOF2 (progressive) right after SOI must raise loudly
+        sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + b"\x08" \
+            + struct.pack(">HHB", 8, 8, 1) + b"\x01\x11\x00"
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg(sof2)
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg")
+
+    def test_compression_is_real(self):
+        import numpy as np
+
+        from graph_data_science_spark.pipeline.jpeg import encode_jpeg
+
+        flat = np.full((64, 64), 128, dtype=np.uint8)
+        assert len(encode_jpeg(flat, quality=75)) < flat.size // 4
+
+    def test_tiled_jpeg_stats_spark(self, spark):
+        """Spark-side replay of the multimodal_jpeg contract row: stats
+        from decoded JPEG payloads == the direct pixel formula."""
+        from graph_data_science_spark.pipeline.multimodal import (
+            jpeg_resize_stats,
+            synthesize_tiled_jpeg,
+        )
+        import numpy as np
+
+        ids = spark.range(30).selectExpr("id AS doc_id")
+        media = synthesize_tiled_jpeg(ids, width=32, height=24)
+        rows = {
+            r.media_id: r
+            for r in jpeg_resize_stats(media, width=8, height=6).collect()
+        }
+        ty = np.arange(3)[:, None]
+        tx = np.arange(4)[None, :]
+        for d in range(30):
+            tiles = ((5 * tx + 9 * ty + d) % 128) * 2
+            # each tile covers 2x2 output pixels at the 4x downscale
+            assert rows[d].pixel_sum == int(tiles.sum()) * 4, d
+            assert rows[d].pixel_min == int(tiles.min()), d
+            assert rows[d].pixel_max == int(tiles.max()), d
+
+    def test_real_resize_all_formats_spark(self, spark):
+        """resize_images(use_stub=False) re-encodes PPM/PNG/JPEG
+        payloads at the new dims, decodable in the original format."""
+        import numpy as np
+
+        from graph_data_science_spark.pipeline.multimodal import (
+            _sniff,
+            resize_images,
+            synthesize_gradient_png,
+            synthesize_gradient_ppm,
+            synthesize_tiled_jpeg,
+        )
+
+        ids = spark.range(5).selectExpr("id AS doc_id")
+        for maker, kind in (
+            (synthesize_gradient_ppm, "ppm"),
+            (synthesize_gradient_png, "png"),
+            (synthesize_tiled_jpeg, "jpeg"),
+        ):
+            media = maker(ids, width=32, height=24)
+            out = resize_images(
+                media, width=16, height=12, use_stub=False
+            ).collect()
+            assert len(out) == 5, kind
+            for r in out:
+                assert r.width == 16 and r.height == 12, kind
+                payload = bytes(r.payload)
+                assert _sniff(payload) == kind
+                from graph_data_science_spark.pipeline.jpeg import (
+                    decode_jpeg,
+                )
+                from graph_data_science_spark.pipeline.multimodal import (
+                    decode_png,
+                    decode_ppm,
+                )
+
+                dec = {
+                    "ppm": decode_ppm,
+                    "png": decode_png,
+                    "jpeg": decode_jpeg,
+                }[kind]
+                img = dec(payload)
+                assert img.shape[:2] == (12, 16), kind
