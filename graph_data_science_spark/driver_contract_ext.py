@@ -2680,6 +2680,47 @@ FROM rs GROUP BY media_id
 """
 
 
+VID_FRAMES, VID_FPS, VID_EVERY_MS = 8, 4, 500
+
+
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MJPEG-in-AVI videos (RIFF container around exact-roundtrip
+    tiled JPEG frames) -> sample_frames_mjpeg every 500 ms -> per-frame
+    JPEG decode -> integer pixel stats. The whole chain — container
+    parse, integer frame-index arithmetic, lossy-codec-exact tiles — is
+    replayed by the SQL oracle."""
+    from .driver_contract import _documents
+    from .pipeline.multimodal import (
+        mjpeg_frame_stats,
+        synthesize_tiled_mjpeg,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id")
+    media = synthesize_tiled_mjpeg(
+        ids, width=PPM_W, height=PPM_H, n_frames=VID_FRAMES, fps=VID_FPS
+    )
+    return mjpeg_frame_stats(media, every_ms=VID_EVERY_MS)
+
+
+def sql_multimodal_video() -> str:
+    dur = VID_FRAMES * 1000 // VID_FPS
+    n_tiles = (PPM_W // 8) * (PPM_H // 8)
+    return f"""
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+ts AS (SELECT media_id, t.ts,
+       LEAST(t.ts * {VID_FPS} // 1000, {VID_FRAMES - 1}) AS f
+       FROM ids, UNNEST(range(0, {dur + 1}, {VID_EVERY_MS})) AS t(ts)),
+tiles AS (SELECT media_id, ts, f,
+        ((5 * tx.tx + 9 * ty.ty + media_id + 17 * f) % 128) * 2 AS v
+        FROM ts, UNNEST(range(0, {PPM_H // 8})) AS ty(ty),
+             UNNEST(range(0, {PPM_W // 8})) AS tx(tx))
+SELECT media_id, ts AS frame_ts_ms, f AS frame_index,
+       CAST(SUM(v) * 64 AS BIGINT) AS pixel_sum,
+       MIN(v) AS pixel_min, MAX(v) AS pixel_max
+FROM tiles GROUP BY 1, 2, 3
+"""
+
+
 def sql_multimodal_image() -> str:
     fy, fx = PPM_H // PPM_OUT_H, PPM_W // PPM_OUT_W
     return f"""
@@ -3569,6 +3610,7 @@ def ext_queries() -> dict:
         "multimodal_image": q_multimodal_image,
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_video": q_multimodal_video,
         # BPE tokenizer (distributed counts exact; train/encode validity)
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_validity": q_bpe_validity,
@@ -3658,6 +3700,7 @@ def ext_oracle_sql() -> dict:
         "multimodal_image": sql_multimodal_image(),
         "multimodal_png": sql_multimodal_image(),
         "multimodal_jpeg": sql_multimodal_jpeg(),
+        "multimodal_video": sql_multimodal_video(),
         "bpe_word_counts": sql_bpe_word_counts(),
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),

@@ -888,3 +888,233 @@ def jpeg_resize_stats(
         "media_id long, out_width long, out_height long, pixel_sum long, "
         "pixel_min long, pixel_max long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video (RIFF container, public spec). With the baseline
+# JPEG codec in pipeline/jpeg.py, video frame sampling no longer needs
+# ffmpeg: an AVI whose streams are MJPG is just a RIFF walk + one JPEG
+# decode per sampled frame. MP4/H.264 stay stubbed (they genuinely need
+# ffmpeg); the container parse, sampling arithmetic and per-frame
+# decode below are real and oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(listtype: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + data)
+
+
+def encode_avi_mjpeg(
+    frames: list, *, fps: int = 4, width: int = 0, height: int = 0
+) -> bytes:
+    """JPEG frame payloads -> minimal standard AVI (RIFF): avih + one
+    'vids'/'MJPG' stream header + BITMAPINFOHEADER + 'movi' 00dc chunks
+    + idx1. Plays in stock players; parses with :func:`parse_avi_mjpeg`."""
+    import struct
+
+    n = len(frames)
+    usec = int(round(1_000_000 / fps))
+    maxb = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", usec, maxb * fps, 0, 0x10, n, 0, 1, maxb,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, maxb, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    strl = _riff_list(
+        b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+    movi_chunks = b""
+    idx = b""
+    for f in frames:
+        # idx1 offset = position of the chunk fourcc from 'movi' fourcc
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_chunks),
+                                     len(f))
+        movi_chunks += _riff_chunk(b"00dc", f)
+    movi = _riff_list(b"movi", movi_chunks)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(payload: bytes) -> tuple[int, int, list]:
+    """AVI bytes -> ``(fps_num, fps_den, frames)`` where frames are the
+    raw video chunk payloads ('##dc'/'##db') in stream order. Rate comes
+    from the first 'vids' strh (dwRate/dwScale), falling back to avih's
+    dwMicroSecPerFrame. Integer rate/scale keeps downstream frame-index
+    arithmetic exact. Non-RIFF/AVI payloads raise ``ValueError``."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    state = {"usec": None, "scale": None, "rate": None, "in_vids": False}
+    frames: list = []
+
+    def walk(data: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + sz]
+            if fourcc == b"LIST":
+                walk(body[4:])
+            elif fourcc == b"avih" and len(body) >= 4:
+                state["usec"] = struct.unpack("<I", body[:4])[0]
+            elif fourcc == b"strh" and body[:4] == b"vids":
+                if state["scale"] is None and len(body) >= 28:
+                    state["scale"], state["rate"] = struct.unpack(
+                        "<II", body[20:28]
+                    )
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(body))
+            pos += 8 + sz + (sz & 1)
+
+    walk(payload[12:])
+    if state["rate"]:
+        return int(state["rate"]), int(state["scale"] or 1), frames
+    if state["usec"]:
+        return 1_000_000, int(state["usec"]), frames
+    raise ValueError("AVI missing frame-rate headers")
+
+
+def synthesize_tiled_mjpeg(
+    ids: DataFrame, *, width: int = 32, height: int = 24,
+    n_frames: int = 8, fps: int = 4, id_col: str = "doc_id",
+    quality: int = 50,
+) -> DataFrame:
+    """One real MJPEG AVI per id: frame ``f`` is the constant-tile
+    grayscale image ``((5·tx + 9·ty + d + 17·f) mod 128) · 2`` through
+    :func:`synthesize_tiled_jpeg`'s exactness construction — every
+    frame survives the lossy codec bit-exactly, so sampled-frame pixel
+    stats are SQL-replayable."""
+    from .jpeg import encode_jpeg
+
+    if width % 8 or height % 8:
+        raise ValueError("tiled MJPEG dims must be multiples of 8")
+    duration_ms = n_frames * 1000 // fps
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ty = np.arange(height // 8, dtype=np.int64)[:, None]
+        tx = np.arange(width // 8, dtype=np.int64)[None, :]
+        base = 5 * tx + 9 * ty
+        for pdf in it:
+            out = []
+            for d in pdf[id_col].to_numpy(np.int64):
+                frames = []
+                for f in range(n_frames):
+                    tiles = ((base + int(d) + 17 * f) % 128) * 2
+                    img = np.repeat(
+                        np.repeat(tiles, 8, axis=0), 8, axis=1
+                    ).astype(np.uint8)
+                    frames.append(encode_jpeg(img, quality=quality))
+                payload = encode_avi_mjpeg(
+                    frames, fps=fps, width=width, height=height
+                )
+                out.append(
+                    (int(d), "video", payload, width, height, 0,
+                     duration_ms)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "sample_rate", "duration_ms",
+                ],
+            )
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def sample_frames_mjpeg(
+    media: DataFrame, *, every_ms: int = 1000
+) -> DataFrame:
+    """REAL frame sampling over MJPEG AVI payloads (cf. the metadata
+    stub in :func:`sample_frames`): parse the RIFF container, then for
+    each ``ts ∈ {0, every_ms, …, duration}`` (inclusive, mirroring the
+    stub's sequence semantics) emit the frame at index
+    ``min(ts·rate // (1000·scale), n−1)`` with its JPEG payload.
+    Integer arithmetic throughout — replayable in SQL."""
+
+    def sf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(np.int64), pdf["payload"]
+            ):
+                rate, scale, frames = parse_avi_mjpeg(bytes(payload))
+                n = len(frames)
+                if n == 0:
+                    continue
+                dur = n * 1000 * scale // rate
+                for ts in range(0, dur + 1, every_ms):
+                    idx = min(ts * rate // (1000 * scale), n - 1)
+                    rows.append((int(mid), ts, idx, frames[idx]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_ts_ms", "frame_index", "payload",
+                ],
+            )
+
+    return media.mapInPandas(
+        sf,
+        "media_id long, frame_ts_ms long, frame_index long, "
+        "payload binary",
+    )
+
+
+def mjpeg_frame_stats(
+    media: DataFrame, *, every_ms: int = 1000
+) -> DataFrame:
+    """Sampled-frame pixel stats: RIFF parse -> frame select -> JPEG
+    decode -> integer stats, all in one ``mapInPandas`` chain."""
+    from .jpeg import decode_jpeg
+
+    frames = sample_frames_mjpeg(media, every_ms=every_ms)
+
+    def st(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, ts, idx, payload in zip(
+                pdf["media_id"].to_numpy(np.int64),
+                pdf["frame_ts_ms"].to_numpy(np.int64),
+                pdf["frame_index"].to_numpy(np.int64),
+                pdf["payload"],
+            ):
+                img = decode_jpeg(bytes(payload))
+                rows.append(
+                    (
+                        int(mid), int(ts), int(idx),
+                        int(img.astype(np.int64).sum()),
+                        int(img.min()), int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_ts_ms", "frame_index",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    return frames.mapInPandas(
+        st,
+        "media_id long, frame_ts_ms long, frame_index long, "
+        "pixel_sum long, pixel_min long, pixel_max long",
+    )

@@ -379,3 +379,88 @@ class TestJpegCodec:
                 }[kind]
                 img = dec(payload)
                 assert img.shape[:2] == (12, 16), kind
+
+
+class TestMjpegAvi:
+    def test_container_roundtrip(self):
+        import numpy as np
+
+        from graph_data_science_spark.pipeline.jpeg import encode_jpeg
+        from graph_data_science_spark.pipeline.multimodal import (
+            encode_avi_mjpeg,
+            parse_avi_mjpeg,
+        )
+
+        frames = [
+            encode_jpeg(
+                np.full((16, 16), 2 * f + 10, dtype=np.uint8), quality=50
+            )
+            for f in range(5)
+        ]
+        avi = encode_avi_mjpeg(frames, fps=4, width=16, height=16)
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        rate, scale, back = parse_avi_mjpeg(avi)
+        assert (rate, scale) == (4, 1)
+        assert back == frames  # byte-identical payload recovery
+        # odd-length frame exercises RIFF word padding
+        odd = [b"\xff\xd8\xff" + b"x" * 4]  # 7 bytes
+        _, _, b2 = parse_avi_mjpeg(encode_avi_mjpeg(odd, fps=2))
+        assert b2 == odd
+
+    def test_rejects_non_avi(self):
+        import pytest
+
+        from graph_data_science_spark.pipeline.multimodal import (
+            parse_avi_mjpeg,
+        )
+
+        with pytest.raises(ValueError):
+            parse_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_frame_sampling_arithmetic_spark(self, spark):
+        """8 frames at 4 fps, sampled every 500 ms -> ts 0..2000
+        inclusive, indices (0,2,4,6,7) with the last clamped."""
+        from graph_data_science_spark.pipeline.multimodal import (
+            sample_frames_mjpeg,
+            synthesize_tiled_mjpeg,
+        )
+
+        ids = spark.range(3).selectExpr("id AS doc_id")
+        media = synthesize_tiled_mjpeg(
+            ids, width=32, height=24, n_frames=8, fps=4
+        )
+        rows = sample_frames_mjpeg(media, every_ms=500).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.media_id, []).append(
+                (r.frame_ts_ms, r.frame_index)
+            )
+        for d in range(3):
+            assert sorted(by_id[d]) == [
+                (0, 0), (500, 2), (1000, 4), (1500, 6), (2000, 7),
+            ]
+
+    def test_frame_stats_match_formula_spark(self, spark):
+        """mjpeg_frame_stats == direct tile-formula replay (the
+        multimodal_video oracle in python)."""
+        import numpy as np
+
+        from graph_data_science_spark.pipeline.multimodal import (
+            mjpeg_frame_stats,
+            synthesize_tiled_mjpeg,
+        )
+
+        ids = spark.range(6).selectExpr("id AS doc_id")
+        media = synthesize_tiled_mjpeg(
+            ids, width=32, height=24, n_frames=8, fps=4
+        )
+        rows = mjpeg_frame_stats(media, every_ms=500).collect()
+        assert len(rows) == 6 * 5
+        ty = np.arange(3)[:, None]
+        tx = np.arange(4)[None, :]
+        for r in rows:
+            tiles = ((5 * tx + 9 * ty + r.media_id + 17 * r.frame_index)
+                     % 128) * 2
+            assert r.pixel_sum == int(tiles.sum()) * 64
+            assert r.pixel_min == int(tiles.min())
+            assert r.pixel_max == int(tiles.max())
