@@ -1009,6 +1009,159 @@ FROM tf t JOIN dfb d ON d.bucket = t.bucket, n
 """
 
 
+BICON_SUPP_CAP = 200
+
+
+def _bicon_graph(spark: SparkSession, sf_dir: str):
+    """Bounded deterministic graph for the biconnectivity rows (the
+    brute-force SQL oracles are O(V·E) reachability — the supplier cap
+    keeps them tractable at EVERY sf): suppliers (id + 1000) chain to
+    the next suppkey in their nation, attach to their nation (id +
+    100), nations attach to their region. Nation clusters become one
+    biconnected block (chained supplier triangles), nation–region
+    edges are bridges, nations/regions become articulation points."""
+    from pyspark.sql import Window
+
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_suppkey") <= BICON_SUPP_CAP)
+        .select(
+            F.col("s_suppkey").alias("sk"),
+            F.col("s_nationkey").alias("nk"),
+        )
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    e_sn = sup.select(
+        (F.col("sk") + 1000).alias("src"), (F.col("nk") + 100).alias("dst")
+    )
+    e_nr = nation.select(
+        (F.col("n_nationkey") + 100).alias("src"),
+        F.col("n_regionkey").cast("long").alias("dst"),
+    )
+    w = Window.partitionBy("nk").orderBy("sk")
+    e_ss = (
+        sup.withColumn("nxt", F.lead("sk").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            (F.col("sk") + 1000).alias("src"),
+            (F.col("nxt") + 1000).alias("dst"),
+        )
+    )
+    edges = e_sn.unionByName(e_nr).unionByName(e_ss)
+    return from_edge_df(edges)
+
+
+_BICON_SQL_GRAPH = f"""
+sup AS (SELECT s_suppkey AS sk, s_nationkey AS nk FROM supplier
+        WHERE s_suppkey <= {BICON_SUPP_CAP}),
+e0 AS (
+  SELECT sk + 1000 AS x, nk + 100 AS y FROM sup
+  UNION ALL
+  SELECT n_nationkey + 100, n_regionkey FROM nation
+  UNION ALL
+  SELECT sk + 1000, nxt + 1000 FROM (
+    SELECT sk, LEAD(sk) OVER (PARTITION BY nk ORDER BY sk) AS nxt
+    FROM sup) t
+  WHERE nxt IS NOT NULL
+),
+edges AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM e0)
+"""
+
+
+def _orig_ids(g, df, cols):
+    """Map internal-id columns back to original ids."""
+    out = df
+    for c in cols:
+        out = (
+            out.join(
+                g.vertices.select(
+                    F.col("internal_id").alias(c),
+                    F.col("original_id").alias(f"__{c}"),
+                ),
+                c,
+            )
+            .drop(c)
+            .withColumnRenamed(f"__{c}", c)
+        )
+    return out
+
+
+def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bridge finding (Tarjan–Vishkin style: spanning
+    forest + DFS-free Euler tour by list ranking + subtree-reach
+    intervals + auxiliary-graph connectivity; operators/
+    biconnectivity.py) vs a brute-force per-edge-removal reachability
+    oracle."""
+    from .operators.biconnectivity import bridges
+
+    g = _bicon_graph(spark, sf_dir)
+    out = _orig_ids(g, bridges(g), ["src", "dst"])
+    return out.select(
+        F.least("src", "dst").cast("long").alias("src"),
+        F.greatest("src", "dst").cast("long").alias("dst"),
+    )
+
+
+def sql_bridges() -> str:
+    return f"""
+WITH RECURSIVE
+{_BICON_SQL_GRAPH},
+sym AS (SELECT a AS u, b AS v, a, b FROM edges
+        UNION ALL SELECT b, a, a, b FROM edges),
+reach AS (
+  SELECT a AS ea, b AS eb, a AS node FROM edges
+  UNION
+  SELECT r.ea, r.eb, s.v
+  FROM reach r JOIN sym s ON s.u = r.node
+  WHERE NOT (s.a = r.ea AND s.b = r.eb)
+)
+SELECT e.a AS src, e.b AS dst FROM edges e
+WHERE NOT EXISTS (SELECT 1 FROM reach r
+                  WHERE r.ea = e.a AND r.eb = e.b AND r.node = e.b)
+"""
+
+
+def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Articulation points from the same biconnectivity machinery
+    (vertex in ≥2 blocks) vs a brute-force per-vertex-removal
+    component-count oracle; n_components = parts the vertex's removal
+    splits its component into."""
+    from .operators.biconnectivity import articulation_points
+
+    g = _bicon_graph(spark, sf_dir)
+    out = _orig_ids(g, articulation_points(g), ["internal_id"])
+    return out.select(
+        F.col("internal_id").cast("long").alias("node_id"),
+        F.col("n_components").cast("long").alias("n_components"),
+    )
+
+
+def sql_articulation_points() -> str:
+    return f"""
+WITH RECURSIVE
+{_BICON_SQL_GRAPH},
+verts AS (SELECT DISTINCT a AS v FROM edges
+          UNION SELECT DISTINCT b FROM edges),
+sym AS (SELECT a AS u, b AS v FROM edges
+        UNION ALL SELECT b, a FROM edges),
+excl AS (SELECT v AS x FROM verts UNION ALL SELECT -1),
+lab AS (
+  SELECT e.x, v.v AS node, v.v AS l FROM excl e, verts v
+  WHERE v.v <> e.x
+  UNION
+  SELECT l.x, s.v, l.l
+  FROM lab l JOIN sym s ON s.u = l.node
+  WHERE s.v <> l.x AND s.u <> l.x
+),
+minlab AS (SELECT x, node, MIN(l) AS ml FROM lab GROUP BY 1, 2),
+ncomp AS (SELECT x, COUNT(DISTINCT ml) AS nc FROM minlab GROUP BY 1),
+base AS (SELECT nc AS base_nc FROM ncomp WHERE x = -1)
+SELECT n.x AS node_id, n.nc - b.base_nc + 1 AS n_components
+FROM ncomp n, base b
+WHERE n.x <> -1 AND n.nc >= b.base_nc + 1
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -1028,6 +1181,8 @@ def ext2_queries() -> dict:
         "hashgnn": q_hashgnn,
         "sllpa": q_sllpa,
         "tfidf_vectors": q_tfidf_vectors,
+        "bridges": q_bridges,
+        "articulation_points": q_articulation_points,
     }
 
 
@@ -1050,4 +1205,6 @@ def ext2_oracle_sql() -> dict:
         "hashgnn": sql_hashgnn(),
         "sllpa": sql_sllpa(),
         "tfidf_vectors": sql_tfidf_vectors(),
+        "bridges": sql_bridges(),
+        "articulation_points": sql_articulation_points(),
     }

@@ -1,0 +1,126 @@
+"""Biconnected components / bridges / articulation points vs a
+sequential Tarjan reference (the textbook DFS the distributed
+formulation must reproduce exactly)."""
+
+import collections
+import random
+
+from graph_data_science_spark.graph import from_edge_df
+from graph_data_science_spark.operators.biconnectivity import (
+    articulation_points,
+    biconnected_components,
+    bridges,
+)
+
+
+def _tarjan(edges):
+    """Sequential reference: bridges, articulation points, per-edge
+    biconnected class."""
+    adj = collections.defaultdict(list)
+    for i, (a, b) in enumerate(edges):
+        adj[a].append((b, i))
+        adj[b].append((a, i))
+    visited, tin, low = {}, {}, {}
+    timer = [0]
+    br, aps, comp_of_edge = set(), set(), {}
+    stack, cid = [], [0]
+    import sys
+
+    sys.setrecursionlimit(100000)
+
+    def dfs(u, pe):
+        visited[u] = True
+        tin[u] = low[u] = timer[0]
+        timer[0] += 1
+        ch = 0
+        for (v, ei) in adj[u]:
+            if ei == pe:
+                continue
+            if v in visited:
+                if tin[v] < tin[u]:
+                    stack.append(ei)
+                low[u] = min(low[u], tin[v])
+            else:
+                stack.append(ei)
+                ch += 1
+                dfs(v, ei)
+                low[u] = min(low[u], low[v])
+                if low[v] > tin[u]:
+                    br.add(ei)
+                if pe != -1 and low[v] >= tin[u]:
+                    aps.add(u)
+                if low[v] >= tin[u]:
+                    c = cid[0]
+                    cid[0] += 1
+                    while True:
+                        e2 = stack.pop()
+                        comp_of_edge[e2] = c
+                        if e2 == ei:
+                            break
+        if pe == -1 and ch >= 2:
+            aps.add(u)
+
+    for v in sorted(adj):
+        if v not in visited:
+            dfs(v, -1)
+    return br, aps, comp_of_edge
+
+
+def _check(spark, edges):
+    g = from_edge_df(spark.createDataFrame(edges, "src long, dst long"))
+    id2orig = {
+        r.internal_id: r.original_id for r in g.vertices.collect()
+    }
+
+    def me(s, d):
+        a, b = id2orig[s], id2orig[d]
+        return (min(a, b), max(a, b))
+
+    bcc = biconnected_components(g).localCheckpoint(eager=True)
+    br_s = {me(r.src, r.dst) for r in bridges(g, bcc=bcc).collect()}
+    ap_s = {
+        id2orig[r.internal_id]
+        for r in articulation_points(g, bcc=bcc).collect()
+    }
+    bcc_s = {me(r.src, r.dst): r.component for r in bcc.collect()}
+
+    br_b, ap_b, comp_b = _tarjan(edges)
+    br_b = {edges[i] for i in br_b}
+    assert br_s == br_b
+    assert ap_s == ap_b
+    # biconnected classes must induce the same PARTITION of the edges
+    p1 = collections.defaultdict(set)
+    p2 = collections.defaultdict(set)
+    for i, e in enumerate(edges):
+        p2[comp_b[i]].add(e)
+    for e, c in bcc_s.items():
+        p1[c].add(e)
+    assert sorted(map(sorted, p1.values())) == sorted(
+        map(sorted, p2.values())
+    )
+
+
+def test_handcrafted_blocks_bridges_aps(spark):
+    """Two triangles joined by a cut vertex, a pendant path, a 4-cycle
+    hung off a bridge, and a separate component: every structural case
+    at once. Vertex ids are non-dense on purpose (exercises the id
+    map)."""
+    edges = [
+        (0, 1), (1, 2), (0, 2),          # triangle A
+        (2, 3), (3, 4), (2, 4),          # triangle B sharing vertex 2
+        (4, 5), (5, 6),                  # pendant path (two bridges)
+        (6, 7), (7, 8), (8, 9), (6, 9),  # 4-cycle after bridge (5,6)
+        (20, 21), (21, 22),              # second component path
+    ]
+    _check(spark, edges)
+
+
+def test_random_graph_matches_tarjan(spark):
+    rng = random.Random(123)
+    n = 24
+    m = 40
+    es = set()
+    while len(es) < m:
+        a, b = rng.sample(range(n), 2)
+        es.add((min(a, b), max(a, b)))
+    _check(spark, sorted(es))
