@@ -310,6 +310,20 @@ def _estimators() -> dict:
             ("per-round spoken labels", 0, m * (1 + iters) * 24),
         ])
 
+    def biconnectivity(n, m, c):
+        import math
+
+        logn = max(1, int(math.log2(max(2, n))))
+        return _tree("biconnectivity", [
+            ("spanning forest + tour arcs (2(V-1) x state row)",
+             2 * n * 40, 2 * n * 40),
+            ("Wyllie ranking joins per round", 0, 2 * n * 32),
+            ("sparse-table levels (n log n rows of (k,i,mn,mx))",
+             n * logn * 28, n * logn * 28),
+            ("auxiliary graph (<= E unite rows + labels)",
+             m * 16, 3 * m * 16),
+        ])
+
     def rwr_sample(n, m, c):
         walks = c.get("walks_per_batch", 128) * c.get("max_batches", 64)
         length = c.get("walk_length", 8)
@@ -335,6 +349,9 @@ def _estimators() -> dict:
         "bellman_ford": bellman_ford, "conductance": conductance,
         "leiden": leiden, "rwr_sample": rwr_sample, "hashgnn": hashgnn,
         "sllpa": sllpa,
+        "biconnectivity": biconnectivity,
+        "bridges": biconnectivity,
+        "articulation_points": biconnectivity,
         "pregel": pregel, "graphsage": graphsage,
         "node_classification": node_classification,
         "link_prediction": link_prediction,
