@@ -1162,6 +1162,105 @@ WHERE n.x <> -1 AND n.nc >= b.base_nc + 1
 """
 
 
+FNS_TOPK = 5
+FKNN_TOPK = 3
+
+
+def q_filtered_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDS 2.x filtered nodeSimilarity: same supplier–part Jaccard as
+    the node_similarity row, result pairs restricted to sources with
+    suppkey % 5 == 0 and targets with suppkey % 3 == 0, restriction
+    applied BEFORE the per-source top-k (ranks over allowed targets)."""
+    from .driver_contract import _graph_sp, _to_original
+    from .operators.nodesim import node_similarity
+
+    g = _graph_sp(spark, sf_dir)
+    supp = F.col("original_id") < 10000000  # parts are offset +10M
+    src_f = g.vertices.filter(
+        supp & (F.col("original_id") % 5 == 0)
+    ).select("internal_id")
+    tgt_f = g.vertices.filter(
+        supp & (F.col("original_id") % 3 == 0)
+    ).select("internal_id")
+    sims = node_similarity(
+        g, top_k=FNS_TOPK, source_ids=src_f, target_ids=tgt_f
+    )
+    sims = _to_original(sims, g.vertices, "node1", "node1")
+    sims = _to_original(sims, g.vertices, "node2", "node2")
+    return sims.select(
+        "node1", "node2", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def sql_filtered_node_similarity() -> str:
+    return f"""
+WITH edges AS (SELECT DISTINCT l_suppkey AS src,
+                      l_partkey + 10000000 AS dst FROM lineitem),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+inter AS (
+  SELECT e1.src AS node1, e2.src AS node2, COUNT(*) AS common
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY e1.src, e2.src),
+sims AS (
+  SELECT node1, node2,
+         CAST(common AS DOUBLE) / (d1.deg + d2.deg - common) AS similarity
+  FROM inter JOIN deg d1 ON d1.src = inter.node1
+             JOIN deg d2 ON d2.src = inter.node2),
+bidir AS (
+  SELECT node1, node2, similarity FROM sims
+  UNION ALL SELECT node2, node1, similarity FROM sims),
+filt AS (SELECT * FROM bidir
+         WHERE node1 % 5 = 0 AND node2 % 3 = 0)
+SELECT node1, node2, ROUND(similarity, 6) AS similarity FROM (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rn
+  FROM filt) WHERE rn <= {FNS_TOPK}
+"""
+
+
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.knn.filtered (exact cross-set kernel): queries are
+    vec_id % 4 == 0, candidates vec_id % 3 == 0 — each query ranks its
+    top-k among allowed candidates only."""
+    from .graph import Graph
+    from .operators.knn import filtered_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("internal_id"),
+        F.col("embedding").alias("vec"),
+    )
+    g = Graph(emb, spark.createDataFrame([], "src long, dst long"))
+    out = filtered_knn(
+        g, "vec", top_k=FKNN_TOPK,
+        source_ids=emb.filter(F.col("internal_id") % 4 == 0).select(
+            "internal_id"
+        ),
+        target_ids=emb.filter(F.col("internal_id") % 3 == 0).select(
+            "internal_id"
+        ),
+    )
+    return out.select(
+        "node1", "node2", F.round("similarity", 4).alias("similarity")
+    )
+
+
+def sql_filtered_knn() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS node1, b.vec_id AS node2,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) *
+          sqrt(list_dot_product(b.v, b.v))) AS similarity
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+  WHERE a.vec_id % 4 = 0 AND b.vec_id % 3 = 0)
+SELECT node1, node2, ROUND(similarity, 4) AS similarity FROM (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rn
+  FROM scored) WHERE rn <= {FKNN_TOPK}
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -1183,6 +1282,8 @@ def ext2_queries() -> dict:
         "tfidf_vectors": q_tfidf_vectors,
         "bridges": q_bridges,
         "articulation_points": q_articulation_points,
+        "filtered_node_similarity": q_filtered_node_similarity,
+        "filtered_knn": q_filtered_knn,
     }
 
 
@@ -1207,4 +1308,6 @@ def ext2_oracle_sql() -> dict:
         "tfidf_vectors": sql_tfidf_vectors(),
         "bridges": sql_bridges(),
         "articulation_points": sql_articulation_points(),
+        "filtered_node_similarity": sql_filtered_node_similarity(),
+        "filtered_knn": sql_filtered_knn(),
     }

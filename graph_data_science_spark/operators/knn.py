@@ -56,3 +56,42 @@ def knn(
         F.col("neighbor_id").alias("node2"),
         F.col("cosine").alias("similarity"),
     )
+
+
+def filtered_knn(
+    graph: Graph,
+    property_name: str,
+    *,
+    top_k: int = 10,
+    source_ids: DataFrame | None = None,
+    target_ids: DataFrame | None = None,
+) -> DataFrame:
+    """gds.alpha.knn.filtered semantics (GDS 2.x): top-k cosine
+    neighbors restricted to node1 ∈ sources, node2 ∈ targets — the
+    target restriction applies BEFORE the per-source top-k, so each
+    source ranks its k best among the allowed candidates only.
+
+    Runs the exact cross-set brute-force kernel (query rows × candidate
+    rows); use the unfiltered :func:`knn` NN-Descent/LSH paths when no
+    filter shrinks the problem. Filters are single-column DataFrames of
+    internal ids."""
+    emb = graph.vertices.select(
+        F.col("internal_id").alias("vec_id"),
+        F.col(property_name).alias("embedding"),
+    )
+    q = emb
+    if source_ids is not None:
+        q = emb.join(
+            source_ids.toDF("vec_id").distinct(), "vec_id", "left_semi"
+        )
+    db = emb
+    if target_ids is not None:
+        db = emb.join(
+            target_ids.toDF("vec_id").distinct(), "vec_id", "left_semi"
+        )
+    out = cosine_topk_bruteforce(q, k=top_k, database=db)
+    return out.select(
+        F.col("vec_id").alias("node1"),
+        F.col("neighbor_id").alias("node2"),
+        F.col("cosine").alias("similarity"),
+    )

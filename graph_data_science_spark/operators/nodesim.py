@@ -33,8 +33,18 @@ def node_similarity(
     top_k: int = 10,
     both_directions: bool = True,
     max_shared_degree: int | None = 100_000,
+    source_ids: DataFrame | None = None,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(node1 long, node2 long, similarity double).
+
+    ``source_ids`` / ``target_ids`` (single-column DataFrames of
+    internal ids) give the GDS 2.x *filtered* nodeSimilarity semantics:
+    result pairs are restricted to node1 ∈ sources / node2 ∈ targets,
+    with the restriction applied BEFORE the per-source top-k cut (top-k
+    ranks over the filtered targets, as the reference's
+    sourceNodeFilter/targetNodeFilter do). Similarity values themselves
+    are computed over the full graph.
 
     ``max_shared_degree``: wedge-join hub guard. The join through a shared
     neighbor costs Σ_dst indeg(dst)² — one popular target with 10⁶
@@ -98,6 +108,14 @@ def node_similarity(
                 "similarity",
             )
         )
+    # semi-joins against the filter sets; small sets broadcast via AQE,
+    # huge ones shuffle — no forced hint (a filter can be O(n) ids)
+    if source_ids is not None:
+        sims = sims.join(source_ids.toDF("node1").distinct(), "node1",
+                         "left_semi")
+    if target_ids is not None:
+        sims = sims.join(target_ids.toDF("node2").distinct(), "node2",
+                         "left_semi")
     if top_k and top_k > 0:
         w = Window.partitionBy("node1").orderBy(
             F.col("similarity").desc(), F.col("node2").asc()

@@ -41,13 +41,18 @@ def cosine_topk_bruteforce(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    database: DataFrame | None = None,
 ) -> DataFrame:
+    """Exact top-k cosine neighbors of every row of ``emb`` among
+    ``database`` (defaults to ``emb`` itself — classic self-ANN). An
+    explicit ``database`` gives the filtered / cross-set variant
+    (query set ≠ candidate set) used by gds.alpha.knn.filtered."""
     a = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("va"),
         _norm_col(vec_col).alias("na"),
     )
-    b = emb.select(
+    b = (emb if database is None else database).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vb"),
         _norm_col(vec_col).alias("nb"),

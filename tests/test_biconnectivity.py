@@ -124,3 +124,72 @@ def test_random_graph_matches_tarjan(spark):
         a, b = rng.sample(range(n), 2)
         es.add((min(a, b), max(a, b)))
     _check(spark, sorted(es))
+
+
+def test_filtered_similarity_variants(spark):
+    """Filtered nodeSimilarity/KNN restrict pairs (source/target) with
+    top-k ranked AFTER the restriction."""
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.graph import Graph, from_edge_df
+    from graph_data_science_spark.operators.knn import filtered_knn
+    from graph_data_science_spark.operators.nodesim import node_similarity
+
+    # bipartite: sources 0..5 share subsets of targets 100..104
+    edges = [(s, 100 + t) for s in range(6) for t in range(5)
+             if (s + t) % 3 != 0]
+    g = from_edge_df(spark.createDataFrame(edges, "src long, dst long"))
+    supp = g.vertices.filter(F.col("original_id") < 100)
+    src_f = supp.filter(F.col("original_id") % 2 == 0).select(
+        "internal_id"
+    )
+    tgt_f = supp.filter(F.col("original_id") % 2 == 1).select(
+        "internal_id"
+    )
+    full = node_similarity(g, top_k=0)
+    filt = node_similarity(
+        g, top_k=2, source_ids=src_f, target_ids=tgt_f
+    )
+    id2orig = {
+        r.internal_id: r.original_id for r in g.vertices.collect()
+    }
+    rows = [(id2orig[r.node1], id2orig[r.node2], r.similarity)
+            for r in filt.collect()]
+    assert rows, "filtered result must be non-empty"
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b, _ in rows)
+    # every filtered pair's similarity matches the unfiltered value
+    fullmap = {(id2orig[r.node1], id2orig[r.node2]): r.similarity
+               for r in full.collect()}
+    for a, b, s in rows:
+        assert abs(fullmap[(a, b)] - s) < 1e-12
+    # top-k after filter: each source keeps its 2 best ODD partners
+    # (ties pin the smaller partner id, the operator's tie-break)
+    for a in {a for a, _, _ in rows}:
+        mine = sorted(
+            ((-s, b) for x, b, s in rows if x == a)
+        )
+        best = sorted(
+            ((-s, b) for (x, b), s in fullmap.items()
+             if x == a and b % 2 == 1)
+        )[:2]
+        assert mine == best
+
+    # filtered knn: queries even ids, candidates odd ids
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(12)],
+        "internal_id long, vec array<double>",
+    )
+    kg = Graph(emb, spark.createDataFrame([], "src long, dst long"))
+    out = filtered_knn(
+        kg, "vec", top_k=2,
+        source_ids=emb.filter(F.col("internal_id") % 2 == 0).select(
+            "internal_id"
+        ),
+        target_ids=emb.filter(F.col("internal_id") % 2 == 1).select(
+            "internal_id"
+        ),
+    ).collect()
+    assert {r.node1 % 2 for r in out} == {0}
+    assert {r.node2 % 2 for r in out} == {1}
+    per_src = collections.Counter(r.node1 for r in out)
+    assert all(c <= 2 for c in per_src.values())
