@@ -1261,6 +1261,64 @@ SELECT node1, node2, ROUND(similarity, 4) AS similarity FROM (
 """
 
 
+KMEANS_K = 6
+
+
+def q_kmeans_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.kmeans over the embeddings table (GDS 2.x surface). Centroid
+    float sums are shuffle-order sensitive (see kmeans_fit docstring),
+    so the oracle is structural: one output row per vector, community
+    ids within [0, k), distances non-negative, silhouette within
+    [-1, 1]. Nearest-centroid assignment and planted-cluster recovery
+    are pinned in pytest (test_kmeans_operator)."""
+    from .graph import Graph
+    from .operators.kmeans import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("internal_id"),
+        F.col("embedding").alias("vec"),
+    )
+    g = Graph(emb, spark.createDataFrame([], "src long, dst long"))
+    out = kmeans(
+        g, "vec", k=KMEANS_K, max_iterations=8, compute_silhouette=True
+    ).localCheckpoint(eager=True)
+    n = out.count()
+    agg = out.agg(
+        F.countDistinct("community").alias("n_comm"),
+        F.sum(
+            (F.col("distance_from_centroid") < 0).cast("long")
+        ).alias("neg_dist"),
+        F.sum(
+            (
+                (F.col("silhouette") < -1.0) | (F.col("silhouette") > 1.0)
+            ).cast("long")
+        ).alias("bad_sil"),
+        F.max("community").alias("max_comm"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                int(agg.n_comm <= KMEANS_K and agg.max_comm < KMEANS_K),
+                int(agg.neg_dist),
+                int(agg.bad_sil),
+            )
+        ],
+        "n_rows long, communities_bounded long, negative_distances long, "
+        "silhouette_out_of_range long",
+    )
+
+
+def sql_kmeans_validity() -> str:
+    return """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS communities_bounded,
+       CAST(0 AS BIGINT) AS negative_distances,
+       CAST(0 AS BIGINT) AS silhouette_out_of_range
+FROM embeddings
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -1284,6 +1342,7 @@ def ext2_queries() -> dict:
         "articulation_points": q_articulation_points,
         "filtered_node_similarity": q_filtered_node_similarity,
         "filtered_knn": q_filtered_knn,
+        "kmeans_validity": q_kmeans_validity,
     }
 
 
@@ -1310,4 +1369,5 @@ def ext2_oracle_sql() -> dict:
         "articulation_points": sql_articulation_points(),
         "filtered_node_similarity": sql_filtered_node_similarity(),
         "filtered_knn": sql_filtered_knn(),
+        "kmeans_validity": sql_kmeans_validity(),
     }

@@ -193,3 +193,36 @@ def test_filtered_similarity_variants(spark):
     assert {r.node2 % 2 for r in out} == {1}
     per_src = collections.Counter(r.node1 for r in out)
     assert all(c <= 2 for c in per_src.values())
+
+
+def test_kmeans_operator(spark):
+    """gds.kmeans wrapper: planted clusters recovered, every node
+    nearest its own centroid, silhouette high for separated data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.graph import Graph
+    from graph_data_science_spark.operators.kmeans import kmeans
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(90):
+        c = i % 3
+        base = np.array([10.0 * c, -5.0 * c, 3.0])
+        rows.append((i, (base + rng.normal(0, 0.1, 3)).tolist()))
+    emb = spark.createDataFrame(
+        rows, "internal_id long, vec array<double>"
+    )
+    g = Graph(emb, spark.createDataFrame([], "src long, dst long"))
+    out = kmeans(
+        g, "vec", k=3, max_iterations=10, compute_silhouette=True
+    ).collect()
+    assert len(out) == 90
+    # planted clusters: assignment must be a pure function of i % 3
+    by_plant = {}
+    for r in out:
+        by_plant.setdefault(r.internal_id % 3, set()).add(r.community)
+    assert all(len(v) == 1 for v in by_plant.values())
+    assert len({next(iter(v)) for v in by_plant.values()}) == 3
+    assert all(r.distance_from_centroid >= 0 for r in out)
+    assert all(r.silhouette > 0.9 for r in out)  # well separated
