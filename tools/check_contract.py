@@ -54,7 +54,10 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from graph_data_science_spark.session import get_spark
 
-    spark = get_spark("contract-check", master="local[8]", shuffle_partitions=8)
+    cpus = int(os.environ.get("GDS_CHECK_CPUS", 8))
+    spark = get_spark(
+        "contract-check", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
