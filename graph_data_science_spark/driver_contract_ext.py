@@ -978,7 +978,8 @@ def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = edges_mod(spark, sf_dir)
     g = from_edge_df(e, orientation=UNDIRECTED)
-    colors, _ran, _conv = k1coloring(g)
+    colors, _ran, conv = k1coloring(g, max_iterations=100)
+    assert conv, "k1coloring did not converge within 100 rounds"
     out = _to_original(colors, g.vertices, "internal_id", "id")
     return out.select("id", "color")
 
@@ -1169,7 +1170,8 @@ def q_k1coloring_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = edges_mod(spark, sf_dir)
     g = from_edge_df(e, orientation=UNDIRECTED)
-    colors, _ran, _conv = k1coloring(g)
+    colors, _ran, conv = k1coloring(g, max_iterations=100)
+    assert conv, "k1coloring did not converge within 100 rounds"
     ca = colors.select(
         F.col("internal_id").alias("src"), F.col("color").alias("c_src")
     )
