@@ -142,7 +142,10 @@ GROUP BY a.s
 
 
 # -- Betweenness (exact Brandes) ------------------------------------------
-BC_MAX_DEPTH = 8  # mod-graph diameter is ~3; 8 = headroom, cost is linear
+BC_MAX_DEPTH = 32  # must exceed the mod-graph diameter at every
+# swept sf (3 at sf0.01 but 28 at sf0.1 — same trap the
+# all_shortest_paths oracle hit); unrolled levels beyond the true
+# diameter join empty frontiers, so the sf0.01 cost is unchanged
 
 
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +173,7 @@ def sql_betweenness() -> str:
     ]
     for k in range(1, D + 1):
         ctes.append(
-            f"sig{k} AS (SELECT p.s, e.dst AS v, SUM(p.cnt) AS cnt "
+            f"sig{k} AS MATERIALIZED (SELECT p.s, e.dst AS v, SUM(p.cnt) AS cnt "
             f"FROM sig{k - 1} p JOIN edges e ON e.src = p.v "
             f"JOIN dist dd ON dd.s = p.s AND dd.v = e.dst AND dd.d = {k} "
             f"GROUP BY p.s, e.dst)"
@@ -184,12 +187,12 @@ def sql_betweenness() -> str:
     )
     # backward dependency accumulation: delta at depth k from depth k+1
     ctes.append(
-        f"delta{D} AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta "
+        f"delta{D} AS MATERIALIZED (SELECT s, v, CAST(0 AS DOUBLE) AS delta "
         f"FROM sigma WHERE d = {D})"
     )
     for k in range(D - 1, -1, -1):
         ctes.append(
-            f"""delta{k} AS (
+            f"""delta{k} AS MATERIALIZED (
   SELECT sv.s, sv.v,
          COALESCE(SUM(sv.cnt / sw.cnt * (1 + dw.delta)), 0) AS delta
   FROM sigma sv
@@ -1454,8 +1457,10 @@ def q_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_all_shortest_paths() -> str:
-    # depth cap 24 mirrors the closeness oracle (measured MOD-graph
-    # diameter ≲ 12; the cap only bounds DuckDB's recursion)
+    # depth cap must exceed the graph diameter at EVERY sf the sweep
+    # runs: measured directed mod-graph diameter is 3 at sf0.01 but 28
+    # at sf0.1 (the old cap of 24 silently dropped the 111k pairs
+    # beyond 24 hops — caught by the sf0.1 sweep; Spark was correct)
     return f"""
 WITH RECURSIVE
 {_mod_header()},
@@ -1463,7 +1468,7 @@ reach(s, v, dist) AS (
   SELECT id, id, 0 FROM nodes
   UNION
   SELECT r.s, e.dst, r.dist + 1 FROM reach r JOIN edges e ON e.src = r.v
-  WHERE r.dist < 24
+  WHERE r.dist < 32
 )
 SELECT s AS source, v AS target, CAST(MIN(dist) AS DOUBLE) AS distance
 FROM reach WHERE v != s GROUP BY s, v
