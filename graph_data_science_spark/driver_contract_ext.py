@@ -3045,7 +3045,10 @@ FROM deg
 # graph (measured fixpoint at sf0.01: 3 rounds; extra levels are no-ops
 # once fixed, and the Spark side RAISES if not converged).
 # ---------------------------------------------------------------------------
-KCORE_LEVELS = 5
+KCORE_LEVELS = 24  # must cover the h-index fixpoint at every swept
+# sf (measured: 3 iterations at sf0.01, 15 at sf0.1 — the old 5-level
+# unroll silently under-converged the oracle at sf0.1; Spark runs to
+# the true fixpoint). Levels beyond the fixpoint are no-ops.
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3064,7 +3067,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_kcore() -> str:
     lv = [
         f"""
-c{t} AS (SELECT dst AS id, CAST(MAX(LEAST(r, value)) AS BIGINT) AS core
+c{t} AS MATERIALIZED (SELECT dst AS id, CAST(MAX(LEAST(r, value)) AS BIGINT) AS core
   FROM (SELECT s.b AS dst, c.core AS value,
           ROW_NUMBER() OVER (PARTITION BY s.b
             ORDER BY c.core DESC, s.a ASC) AS r
