@@ -105,7 +105,7 @@ reach(v, hop) AS (
   SELECT s, 0 FROM s0
   UNION
   SELECT e.dst, r.hop + 1 FROM reach r JOIN edges e ON e.src = r.v
-  WHERE r.hop < 20
+  WHERE r.hop < 32
 )
 SELECT v AS id, CAST(MIN(hop) AS BIGINT) AS hop FROM reach GROUP BY v
 """
