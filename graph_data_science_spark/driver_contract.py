@@ -1328,18 +1328,19 @@ _CHECK_PREFIX = (
     "local_clustering_coefficient", "louvain_validity",
     "modularity_metric", "betweenness", "node_similarity", "knn_validity",
     "degree_centrality", "sssp", "dijkstra_path", "yens_k_shortest",
-    "astar", "k1coloring_validity", "fastrp", "node2vec", "graphsage",
+    "k1coloring_validity", "fastrp", "node2vec", "graphsage",
     # §2.4 alpha tier
-    "scc", "closeness", "harmonic", "bfs", "all_shortest_paths",
-    "spanning_tree", "triangle_stream", "balanced_triads", "random_walk",
+    "scc", "closeness", "bfs", "all_shortest_paths",
+    "spanning_tree", "balanced_triads", "random_walk",
     "collapse_path", "similarity_functions", "embedding_topk",
     "celf_validity", "hits", "scale_properties", "split_relationships",
     "node_classification", "link_prediction",
-    # beyond-ref graph families
-    "kcore", "leiden_validity", "conductance",
-    # LLM-pipeline families
+    # beyond-ref graph families (round-3 additions included)
+    "kcore", "leiden_validity", "conductance", "bridges",
+    "kmeans_validity", "filtered_node_similarity",
+    # LLM-pipeline + multimodal families
     "token_count", "exact_dedup", "minhash_dedup", "lang_id",
-    "duplicated_spans", "doc_fingerprint",
+    "duplicated_spans", "multimodal_video",
 )
 
 
