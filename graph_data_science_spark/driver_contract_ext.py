@@ -1017,7 +1017,9 @@ def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (walk_id, step, graph) — DuckDB replays all of them with a recursive
     CTE and the full paths value-hash match. Ids are pinned to original
     suppkeys via the dense fast path (n_vertices covers the id range) so
-    both engines walk the same id space."""
+    both engines walk the same id space. The path array is projected to a
+    comma-joined string: the driver harness canonicalizes result rows via
+    pandas sort/hash, which cannot handle list-typed cells."""
     from .graph import from_dense_edge_df
     from .operators.mlops import random_walks
 
@@ -1029,9 +1031,13 @@ def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("dst").alias("internal_id")))
         .distinct()
     )
-    return random_walks(
+    walks = random_walks(
         g, walks_per_node=2, walk_length=4, base_hash="md5",
         start_nodes=starts,
+    )
+    return walks.select(
+        "walk_id", "start",
+        F.array_join(F.col("path"), ",").alias("path_str"),
     )
 
 
@@ -1062,7 +1068,8 @@ walk(walk_id, start, step, cur, path) AS (
 final AS (SELECT walk_id, start, path,
           ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY step DESC) AS rn
           FROM walk)
-SELECT walk_id, start, path FROM final WHERE rn = 1
+SELECT walk_id, start, array_to_string(path, ',') AS path_str
+FROM final WHERE rn = 1
 """
 
 
@@ -3230,7 +3237,15 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .driver_contract import _embeddings
     from .pipeline.ann import quantize_embeddings
 
-    return quantize_embeddings(_embeddings(spark, sf_dir))
+    out = quantize_embeddings(_embeddings(spark, sf_dir))
+    # array column projected to a string: the driver harness cannot
+    # canonicalize list-typed cells (pandas sort/hash limitation)
+    return out.select(
+        "vec_id", "scale",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec_str"),
+    )
 
 
 _SQL_QUANT_CTE = """
@@ -3249,7 +3264,10 @@ qq AS (SELECT vec_id, scale,
 
 
 def sql_embedding_quantize() -> str:
-    return f"WITH {_SQL_QUANT_CTE} SELECT vec_id, scale, qvec FROM qq"
+    return (
+        f"WITH {_SQL_QUANT_CTE} SELECT vec_id, scale, "
+        "array_to_string(qvec, ',') AS qvec_str FROM qq"
+    )
 
 
 def q_embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -837,7 +837,14 @@ def q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
         g, dimension=HGNN_DIM, density=HGNN_DENSITY,
         iterations=HGNN_ITERS,
     )
-    return out.select(F.col("internal_id").alias("id"), "embedding")
+    # array column projected to a string: the driver harness cannot
+    # canonicalize list-typed cells (pandas sort/hash limitation)
+    return out.select(
+        F.col("internal_id").alias("id"),
+        F.array_join(
+            F.transform("embedding", lambda x: x.cast("string")), ","
+        ).alias("embedding_str"),
+    )
 
 
 def _sql_hkey(parts: str) -> str:
@@ -881,7 +888,7 @@ def sql_hashgnn() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
-SELECT id, list(bit ORDER BY bit) AS embedding
+SELECT id, array_to_string(list(bit ORDER BY bit), ',') AS embedding_str
 FROM b{HGNN_ITERS} GROUP BY id
 """
     )

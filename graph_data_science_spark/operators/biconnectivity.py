@@ -95,6 +95,12 @@ def _cc(edges: DataFrame, n_checkpoint_base: int = 0) -> DataFrame:
         lab = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "biconnectivity._cc did not converge within 64 rounds — "
+            "with hash-min + pointer jumping this is mathematically "
+            "impossible unless the loop structure regressed"
+        )
     return lab.select("v", F.col("l").alias("comp"))
 
 
@@ -120,6 +126,11 @@ def _enumerate(df: DataFrame, order_cols: list, out_col: str) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if not offsets:
+        # empty input: create_map() with zero args is untyped and fails
+        # to resolve when indexed — any int->int literal map works since
+        # there are no rows to look up.
+        offsets = {0: 0}
     omap = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )

@@ -1,0 +1,91 @@
+"""Registry-contract guards for the driver correctness gate.
+
+The driver hash-checks the FIRST ~51 ``queries()`` entries and
+canonicalizes result rows via pandas sort/hash, which cannot handle
+list/map/struct-typed cells (round-3's only red row, ``random_walk``,
+was exactly this harness limitation on an ``array<bigint>`` column).
+These tests pin (a) the prefix order so a reorder can't silently
+un-cover an operator family or rotate an unvetted query into the
+checked window, and (b) a no-complex-output-columns rule for every
+registry query so no entry can ever trip the canonicalizer again.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+import graph_data_science_spark.driver_contract as dc
+
+SF_DIR = os.environ.get("GDS_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# The driver-checked window. Keep in sync with dc._CHECK_PREFIX — this
+# literal copy is the point: a refactor that reorders the registry must
+# consciously edit BOTH places.
+EXPECTED_PREFIX = (
+    "pagerank", "article_rank", "eigenvector", "wcc", "wcc_fused",
+    "label_propagation", "label_propagation_fused", "triangle_count",
+    "local_clustering_coefficient", "louvain_validity",
+    "modularity_metric", "betweenness", "node_similarity", "knn_validity",
+    "degree_centrality", "sssp", "dijkstra_path", "yens_k_shortest",
+    "k1coloring_validity", "fastrp", "node2vec", "graphsage",
+    "scc", "closeness", "bfs", "all_shortest_paths",
+    "spanning_tree", "balanced_triads", "random_walk",
+    "collapse_path", "similarity_functions", "embedding_topk",
+    "celf_validity", "hits", "scale_properties", "split_relationships",
+    "node_classification", "link_prediction",
+    "kcore", "leiden_validity", "conductance", "bridges",
+    "kmeans_validity", "filtered_node_similarity",
+    "token_count", "exact_dedup", "minhash_dedup", "lang_id",
+    "duplicated_spans", "multimodal_video",
+)
+
+
+def test_prefix_order_pinned():
+    names = list(dc.queries().keys())
+    assert tuple(names[: len(EXPECTED_PREFIX)]) == EXPECTED_PREFIX
+
+
+def test_every_query_has_oracle_or_validity_sibling():
+    qs = dc.queries()
+    oracles = dc.oracle_sql()
+    missing = [k for k in oracles if k not in qs]
+    assert not missing, f"oracle without query: {missing}"
+    # rows-only entries (no oracle) must carry a *_validity sibling or
+    # themselves be a validity/rows-only check by naming convention
+    rows_only = [k for k in qs if k not in oracles]
+    validity_names = {k for k in qs if "validity" in k}
+
+    def has_sibling(k: str) -> bool:
+        # louvain -> louvain_validity; influence_celf -> celf_validity
+        return any(k.split("_")[-1] in v or k in v for v in validity_names)
+
+    unexplained = [
+        k for k in rows_only if "validity" not in k and not has_sibling(k)
+    ]
+    assert not unexplained, f"rows-only without validity sibling: {unexplained}"
+
+
+def _has_complex(dtype) -> bool:
+    return isinstance(dtype, (T.ArrayType, T.MapType, T.StructType))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_no_complex_output_columns_anywhere(spark):
+    """Every registry query must emit only scalar columns: the driver
+    harness canonicalizes via pandas sort_values, which raises
+    ``TypeError: unhashable type: 'list'`` on array cells. Runs the
+    FULL registry at sf0.001 (schema construction only — no collect)."""
+    bad = []
+    for name, fn in dc.queries().items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception as exc:  # a query that can't build is worse
+            bad.append((name, "<build error>", str(exc)[:200]))
+            continue
+        for f in df.schema.fields:
+            if _has_complex(f.dataType):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"complex-typed output columns: {bad}"
