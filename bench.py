@@ -165,7 +165,11 @@ def main() -> None:
     # JSON so nothing is hidden.
     import statistics as _stats
 
-    reps = max(1, int(os.environ.get("BENCH_PR_REPS", "3")))
+    # 5 reps: round-3's apparent 2x corpus regression was co-tenant CPU
+    # steal hitting 2 of 3 reps (same HEAD re-measured unloaded:
+    # [13.8, 13.5, 11.4] — identical to round-2-best); median-of-5 keeps
+    # one noisy rep from moving the reported number.
+    reps = max(1, int(os.environ.get("BENCH_PR_REPS", "5")))
     rep_secs: list[float] = []
     outcome = None
     for _ in range(reps):

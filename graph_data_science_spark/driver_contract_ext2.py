@@ -1170,6 +1170,7 @@ WHERE n.x <> -1 AND n.nc >= b.base_nc + 1
 
 
 FNS_TOPK = 5
+WNS_TOPK = 5
 FKNN_TOPK = 3
 
 
@@ -1222,6 +1223,51 @@ SELECT node1, node2, ROUND(similarity, 6) AS similarity FROM (
   SELECT *, ROW_NUMBER() OVER
     (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rn
   FROM filt) WHERE rn <= {FNS_TOPK}
+"""
+
+
+def q_node_similarity_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted nodeSimilarity (relationshipWeightProperty set, ref
+    NodeSimilarity.java:153-185): sum(min)/sum(max) over the weight
+    vectors aligned on the neighborhood union — weight = lineitem count
+    per (supplier, part) edge, the same graph as the node_similarity
+    row."""
+    from .driver_contract import _graph_sp, _to_original
+    from .operators.nodesim import node_similarity
+
+    g = _graph_sp(spark, sf_dir)
+    sims = node_similarity(g, top_k=WNS_TOPK, relationship_weight="weight")
+    sims = _to_original(sims, g.vertices, "node1", "node1")
+    sims = _to_original(sims, g.vertices, "node2", "node2")
+    return sims.select(
+        "node1", "node2", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def sql_node_similarity_weighted() -> str:
+    # Same identity as the operator: sum_union(max) = W1 + W2 - sum_∩(min)
+    return f"""
+WITH edges AS (SELECT l_suppkey AS src, l_partkey + 10000000 AS dst,
+                      CAST(COUNT(*) AS DOUBLE) AS w
+               FROM lineitem GROUP BY 1, 2),
+deg AS (SELECT src, SUM(w) AS wdeg FROM edges GROUP BY src),
+inter AS (
+  SELECT e1.src AS node1, e2.src AS node2,
+         SUM(LEAST(e1.w, e2.w)) AS smin
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY e1.src, e2.src),
+sims AS (
+  SELECT node1, node2,
+         smin / (d1.wdeg + d2.wdeg - smin) AS similarity
+  FROM inter JOIN deg d1 ON d1.src = inter.node1
+             JOIN deg d2 ON d2.src = inter.node2),
+bidir AS (
+  SELECT node1, node2, similarity FROM sims
+  UNION ALL SELECT node2, node1, similarity FROM sims)
+SELECT node1, node2, ROUND(similarity, 6) AS similarity FROM (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rn
+  FROM bidir) WHERE rn <= {WNS_TOPK}
 """
 
 
@@ -1348,6 +1394,7 @@ def ext2_queries() -> dict:
         "bridges": q_bridges,
         "articulation_points": q_articulation_points,
         "filtered_node_similarity": q_filtered_node_similarity,
+        "node_similarity_weighted": q_node_similarity_weighted,
         "filtered_knn": q_filtered_knn,
         "kmeans_validity": q_kmeans_validity,
     }
@@ -1375,6 +1422,7 @@ def ext2_oracle_sql() -> dict:
         "bridges": sql_bridges(),
         "articulation_points": sql_articulation_points(),
         "filtered_node_similarity": sql_filtered_node_similarity(),
+        "node_similarity_weighted": sql_node_similarity_weighted(),
         "filtered_knn": sql_filtered_knn(),
         "kmeans_validity": sql_kmeans_validity(),
     }

@@ -3,9 +3,10 @@ out-neighborhood sets.
 
 Semantics (ref: algo/.../similarity/nodesim/NodeSimilarity.java:87-185):
 - compares pairs of nodes that share at least one out-neighbor,
-- jaccard = |N(a) ∩ N(b)| / (|N(a)| + |N(b)| - |∩|); weighted variant uses
-  sum(min)/sum(max) over the weight vectors (we implement unweighted
-  Jaccard + COSINE over weights as the alpha family does),
+- jaccard = |N(a) ∩ N(b)| / (|N(a)| + |N(b)| - |∩|); the weighted variant
+  (``relationshipWeightProperty`` set, ref NodeSimilarity.java:153-185)
+  scores sum(min)/sum(max) over the weight vectors aligned on the union
+  of neighborhoods (missing entries = 0, weights assumed non-negative),
 - ``degree_cutoff`` (default 1) drops low-degree nodes first,
 - ``similarity_cutoff`` filters pairs, ``top_k`` keeps the k best
   per source node (ties: GDS keeps arbitrary; we pin smaller partner id),
@@ -35,6 +36,7 @@ def node_similarity(
     max_shared_degree: int | None = 100_000,
     source_ids: DataFrame | None = None,
     target_ids: DataFrame | None = None,
+    relationship_weight: str | None = None,
 ) -> DataFrame:
     """(node1 long, node2 long, similarity double).
 
@@ -52,17 +54,44 @@ def node_similarity(
     the cap are EXCLUDED from the intersection count (an upper-bound
     truncation of `common`, biasing similarity down for pairs sharing
     ultra-hubs — the same spirit as GDS's degreeCutoff bounding; set to
-    None for exact semantics on small graphs)."""
+    None for exact semantics on small graphs).
+
+    ``relationship_weight``: name of the weight column on ``graph.edges``;
+    when set, pairs score the reference's weighted overlap
+    sum(min(wa,wb)) / sum(max(wa,wb)) over the union of neighborhoods
+    (NodeSimilarity.java:153-185; missing neighbors contribute 0, weights
+    must be non-negative). Identity used to avoid materializing union
+    vectors: sum_union max = W_a + W_b - sum_inter min, so the same wedge
+    join carries min-weight sums and the denominator needs only per-node
+    weighted degrees — no per-pair vector state, scale-identical to the
+    unweighted plan. Duplicate (src, dst) rows aggregate weights by SUM
+    before scoring."""
+    weighted = relationship_weight is not None
     # Materialize the deduped edge projection once: it is referenced four
     # times below (deg, wedge left/right, hub filter) and graph.edges is a
     # full scan+idmap plan — without this the wedge join re-reads the
     # source table per reference (observed 40 parquet scans in the plan).
-    edges = graph.edges.select("src", "dst").distinct().localCheckpoint(
-        eager=False
+    if weighted:
+        edges = (
+            graph.edges.select(
+                "src", "dst", F.col(relationship_weight).alias("__w")
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        edges = graph.edges.select("src", "dst").distinct().localCheckpoint(
+            eager=False
+        )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        (F.sum("__w") if weighted else F.count(F.lit(1))).alias("deg"),
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     if degree_cutoff > 1:
-        deg = deg.filter(F.col("deg") >= degree_cutoff)
+        # degree_cutoff gates on neighborhood SIZE in both variants
+        deg = deg.filter(F.col("__cnt") >= degree_cutoff)
+    deg = deg.drop("__cnt")
     e = edges.join(deg.select("src"), "src")
     if max_shared_degree is not None:
         keep_dst = (
@@ -73,14 +102,23 @@ def node_similarity(
         )
         e = e.join(keep_dst, "dst")
 
-    # wedge join: pairs (a, b) sharing out-neighbor with intersection size
-    ea = e.select(F.col("src").alias("node1"), F.col("dst"))
-    eb = e.select(F.col("src").alias("node2"), F.col("dst"))
+    # wedge join: pairs (a, b) sharing an out-neighbor; `common` is the
+    # intersection size (unweighted) or the sum of per-neighbor min weights
+    if weighted:
+        ea = e.select(F.col("src").alias("node1"), "dst",
+                      F.col("__w").alias("__w1"))
+        eb = e.select(F.col("src").alias("node2"), "dst",
+                      F.col("__w").alias("__w2"))
+        common_agg = F.sum(F.least("__w1", "__w2")).alias("common")
+    else:
+        ea = e.select(F.col("src").alias("node1"), F.col("dst"))
+        eb = e.select(F.col("src").alias("node2"), F.col("dst"))
+        common_agg = F.count(F.lit(1)).alias("common")
     inter = (
         ea.join(eb, "dst")
         .filter(F.col("node1") < F.col("node2"))
         .groupBy("node1", "node2")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(common_agg)
     )
     d1 = deg.select(F.col("src").alias("node1"), F.col("deg").alias("deg1"))
     d2 = deg.select(F.col("src").alias("node2"), F.col("deg").alias("deg2"))

@@ -213,12 +213,18 @@ def _wcc_fused(
         max_iterations=max_iterations,
         reducer="min",
         chunk_size=chunk_size,
+        # min-label supersteps past convergence are no-ops (labels are a
+        # fixpoint), so the thin-frontier tail can chain many supersteps
+        # per Spark job — amortizes the fixed stage-launch serial term
+        # that caps multi-core scaling on high-diameter graphs
+        adaptive_chunk_max=max(16, chunk_size * 4),
         spark=graph.spark,
         checkpoint=checkpoint,
     )
     if metrics_out is not None:
         metrics_out["ran_iterations"] = result.ran_iterations
         metrics_out["converged"] = result.converged
+        metrics_out["supersteps"] = result.metrics
     if not result.converged and checkpoint is None:
         # never return a silently partial assignment: pure min-label needs
         # O(diameter) supersteps (no pointer-jumping over blob state) —

@@ -490,7 +490,69 @@ def _emit_scatter(
     all_sent = n_nan == 0 and not use_weights
     for _cno, chunk in chunks:
         src_ids, dst_ids, dst_offsets, src_idx, weights = chunk
-        per_edge = send[src_ids - base][src_idx]
+        sel = send[src_ids - base]
+        act = ~np.isnan(sel)
+        n_act = int(act.sum())
+        if n_act == 0:
+            # no source in this chunk sends — O(n_src) check instead of
+            # the O(E) per-edge pipeline below
+            continue
+        if n_act * 16 < len(sel) and not all_sent:
+            # sparse frontier (convergence tail): touch only the active
+            # sources' edges. One O(E) bool gather finds them; their dst
+            # run ids come from searchsorted on the offset table — no
+            # O(E) double gathers / np.where chains / reduceat over the
+            # full chunk. This is what keeps thin-tail supersteps from
+            # paying full-frontier numpy cost (the serial term in the
+            # N->4N scaling evidence, BENCH.md).
+            emask = act[src_idx]
+            idx = np.flatnonzero(emask)
+            if len(idx) == 0:
+                continue
+            vals_pe = sel[src_idx[idx]]
+            if use_weights:
+                vals_pe = vals_pe * weights[idx]
+                ok = np.isfinite(vals_pe)
+                if not ok.all():
+                    idx = idx[ok]
+                    vals_pe = vals_pe[ok]
+                    if len(idx) == 0:
+                        continue
+            runs = np.searchsorted(dst_offsets, idx, side="right") - 1
+            dst_pe = dst_ids[runs]
+            order = np.argsort(dst_pe, kind="stable")
+            sd = dst_pe[order]
+            sv = vals_pe[order]
+            gstarts = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+            verts = sd[gstarts]
+            if reducer == "sum":
+                vals = np.add.reduceat(sv, gstarts)
+            elif reducer == "count":
+                vals = np.diff(np.r_[gstarts, len(sv)]).astype(
+                    np.float64
+                )
+            elif reducer == "min":
+                vals = np.minimum.reduceat(sv, gstarts)
+            else:
+                vals = np.maximum.reduceat(sv, gstarts)
+            verts_local = (verts % bw).astype(np.int32)
+            cut = np.searchsorted(verts, bucket_edges)
+            lo = 0
+            for b in range(nb):
+                hi = cut[b]
+                if hi > lo:
+                    rows["kind"].append(1)
+                    rows["bucket"].append(b)
+                    rows["pay1"].append(verts_local[lo:hi].tobytes())
+                    rows["pay2"].append(vals[lo:hi].tobytes())
+                    rows["pay3"].append(b"")
+                    rows["l1"].append(0.0)
+                    rows["active"].append(bucket)
+                    rows["nrows"].append(int(hi - lo))
+                    rows["task_sec"].append(0.0)
+                lo = hi
+            continue
+        per_edge = sel[src_idx]
         if use_weights:
             per_edge = per_edge * weights
             per_edge[~np.isfinite(per_edge)] = np.nan
@@ -597,6 +659,8 @@ def run_fused(
     checkpoint: CheckpointStore | None = None,
     use_weights: bool = False,
     chunk_size: int = 1,
+    adaptive_chunk_max: int | None = None,
+    adaptive_threshold: float = 0.05,
     spark=None,
 ) -> FusedResult:
     """Superstep loop over blob state.
@@ -610,6 +674,16 @@ def run_fused(
     chunk-end state even if an earlier superstep already met the
     criterion), so keep the default 1 when exact ranIterations parity
     matters and raise it for fixed-iteration throughput runs.
+
+    ``adaptive_chunk_max``: when set, the chunk size doubles (up to this
+    cap) every time the newest superstep's active fraction drops below
+    ``adaptive_threshold`` — the thin-frontier convergence tail then
+    amortizes its fixed per-job stage-launch cost over many supersteps
+    (the serial term that caps multi-core scaling efficiency; see
+    BENCH.md). Convergence detection stays exact per-superstep via the
+    per-superstep Observations — only the returned state may overshoot
+    to chunk end, so enable this only for computes whose post-convergence
+    supersteps are idempotent (min-label WCC, labelvote LP).
 
     ``compute(bucket, iteration, state, msg_vals, msg_mask, static) ->
     (new_state: tuple[np.ndarray, np.ndarray], send: np.ndarray | None,
@@ -904,9 +978,10 @@ def run_fused(
     try:
         t = start_iter
         chunk_no = 0
+        cur_chunk = chunk_size
         while t <= max_iterations and not converged:
             chunk_no += 1
-            todo = min(chunk_size, max_iterations - t + 1)
+            todo = min(cur_chunk, max_iterations - t + 1)
             # chain `todo` supersteps lazily: intermediate message blobs
             # live only in shuffle files, never in the block manager; each
             # superstep still gets its own Observation.
@@ -986,6 +1061,15 @@ def run_fused(
                     ran = it
                     break
             t += todo
+            if (
+                adaptive_chunk_max
+                and not converged
+                and all_metrics
+                and all_metrics[-1]["rows"] > 0
+                and all_metrics[-1]["active"]
+                < adaptive_threshold * all_metrics[-1]["rows"]
+            ):
+                cur_chunk = min(cur_chunk * 2, adaptive_chunk_max)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", parts_before)

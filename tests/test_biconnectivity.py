@@ -226,3 +226,43 @@ def test_kmeans_operator(spark):
     assert len({next(iter(v)) for v in by_plant.values()}) == 3
     assert all(r.distance_from_centroid >= 0 for r in out)
     assert all(r.silhouette > 0.9 for r in out)  # well separated
+
+
+def test_weighted_node_similarity_hand_computed(spark):
+    """Weighted overlap sum(min)/sum(max) vs a hand-computed fixture
+    (ref NodeSimilarity.java:153-185 semantics: vectors aligned on the
+    union of neighborhoods, missing entries 0)."""
+    from graph_data_science_spark.graph import from_edge_df
+    from graph_data_science_spark.operators.nodesim import node_similarity
+
+    # a: {x:3, y:1}, b: {x:1, y:2, z:4}, c: {z:4}
+    # a-b: min 1+1=2, max 3+2+4=9           -> 2/9
+    # b-c: min 4,     max 1+2+4=7           -> 4/7
+    # a-c: no shared neighbor -> no pair
+    edges = [
+        (0, 10, 3.0), (0, 11, 1.0),
+        (1, 10, 1.0), (1, 11, 2.0), (1, 12, 4.0),
+        (2, 12, 4.0),
+    ]
+    g = from_edge_df(
+        spark.createDataFrame(edges, "src long, dst long, w double"),
+        weight="w",
+    )
+    id2orig = {r.internal_id: r.original_id for r in g.vertices.collect()}
+    rows = {
+        (id2orig[r.node1], id2orig[r.node2]): r.similarity
+        for r in node_similarity(
+            g, relationship_weight="weight", top_k=0
+        ).collect()
+    }
+    assert set(rows) == {(0, 1), (1, 0), (1, 2), (2, 1)}
+    assert abs(rows[(0, 1)] - 2 / 9) < 1e-12
+    assert abs(rows[(1, 2)] - 4 / 7) < 1e-12
+    # both directions carry the symmetric score
+    assert rows[(0, 1)] == rows[(1, 0)]
+    # unweighted on the same graph differs (a-b jaccard = 2/3)
+    uw = {
+        (id2orig[r.node1], id2orig[r.node2]): r.similarity
+        for r in node_similarity(g, top_k=0).collect()
+    }
+    assert abs(uw[(0, 1)] - 2 / 3) < 1e-12

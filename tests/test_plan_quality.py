@@ -83,3 +83,38 @@ def test_decontaminate_broadcasts_benchmark_side(spark, contract_queries):
     plan = _plan(contract_queries["decontaminate"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan, "benchmark semi-join not broadcast"
+
+
+def test_hits_one_job_per_iteration(spark):
+    """HITS must run ONE Spark job per iteration (norms + convergence
+    delta ride the iteration's checkpoint as Observation metrics) —
+    round 3 shipped 3 collect() actions per iteration, each re-executing
+    the join lineage. Counted with AQE off so jobs == actions (AQE
+    splits one action into a job per materialized query stage)."""
+    from graph_data_science_spark.graph import from_edge_df
+    from graph_data_science_spark.operators.hits import hits
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = [(i, (i * 7 + 1) % 50) for i in range(200)]
+        g = from_edge_df(spark.createDataFrame(edges, "src long, dst long"))
+        g.edges = g.edges.localCheckpoint(eager=True)
+        sc = spark.sparkContext
+        sc.setJobGroup("hits-jobcount", "plan quality guard")
+        try:
+            iters = 8
+            hits(g, max_iterations=iters, tolerance=0.0)
+            n_jobs = len(
+                sc.statusTracker().getJobIdsForGroup("hits-jobcount")
+            )
+        finally:
+            sc.setJobGroup(None, None)
+        # 1 init checkpoint + 1/iteration + 1 final delta scan + slack
+        # for the every-6 stats-resetting rebuild
+        assert n_jobs <= iters + 5, (
+            f"{n_jobs} jobs for {iters} HITS iterations - an extra "
+            "driver action re-entered the per-iteration loop"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
