@@ -480,10 +480,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them instead of misreading 0xFF as a code
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers with no length field
+            continue
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
         pos += seglen

@@ -464,3 +464,25 @@ class TestMjpegAvi:
             assert r.pixel_sum == int(tiles.sum()) * 64
             assert r.pixel_min == int(tiles.min())
             assert r.pixel_max == int(tiles.max())
+
+
+def test_jpeg_fill_bytes_and_stray_rst_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker, and
+    TEM/RSTn are standalone (no length field) — externally-produced
+    baseline JPEGs use both (round-3 ADVICE item)."""
+    import numpy as np
+
+    from graph_data_science_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64)
+    payload = encode_jpeg(img)
+    base = decode_jpeg(payload)
+    # fill byte before the first marker after SOI
+    filled = payload[:2] + b"\xff" + payload[2:]
+    assert (decode_jpeg(filled) == base).all()
+    # standalone TEM marker between header segments
+    tem = payload[:2] + b"\xff\x01" + payload[2:]
+    assert (decode_jpeg(tem) == base).all()

@@ -60,17 +60,23 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
     oracle_timeout = float(os.environ.get("GDS_ORACLE_TIMEOUT", 0) or 0)
-    con.execute(
-        f"SET memory_limit = '{os.environ.get('GDS_ORACLE_MEM', '24GB')}'"
-    )
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+
+    def make_con():
+        c = duckdb.connect()
+        c.execute(
+            f"SET memory_limit = "
+            f"'{os.environ.get('GDS_ORACLE_MEM', '24GB')}'"
+        )
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        return c
+
+    con = make_con()
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -104,10 +110,22 @@ def main() -> int:
             continue
         t0 = time.monotonic()
         timer = None
+        fired = None
         if oracle_timeout:
             import threading
 
-            timer = threading.Timer(oracle_timeout, con.interrupt)
+            # `fired` guards the success-path race: if the Timer pops
+            # after the query completes but before cancel(), the
+            # interrupt flag would land on an idle connection and
+            # spuriously abort the NEXT query — when it fired at all,
+            # rebuild the connection before moving on.
+            fired = threading.Event()
+
+            def _interrupt():
+                fired.set()
+                con.interrupt()
+
+            timer = threading.Timer(oracle_timeout, _interrupt)
             timer.start()
         try:
             res = con.execute(oracles[name])
@@ -116,19 +134,30 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             if timer is not None:
                 timer.cancel()
+            if fired is not None and fired.is_set():
+                con = make_con()
             msg = f"{type(e).__name__}: {e}"
-            budget_hit = oracle_timeout and (
-                "INTERRUPT" in msg.upper()
-                or time.monotonic() - t0 >= oracle_timeout
-                or "memory" in msg.lower()
+            # budget overruns are ONLY a fired timeout or DuckDB's
+            # specific out-of-memory type — a generic error merely
+            # mentioning 'memory' is a genuine oracle bug and must FAIL
+            oom = isinstance(
+                e, getattr(duckdb, "OutOfMemoryException", ())
             )
+            budget_hit = (
+                oracle_timeout
+                and (
+                    "INTERRUPT" in msg.upper()
+                    or (fired is not None and fired.is_set())
+                )
+            ) or oom
             if budget_hit:
                 status = "ok?" if spark_rows else "FAIL"
                 print(
                     f"{status} {name}: oracle over budget "
                     f"({time.monotonic() - t0:.0f}s/{oracle_timeout}s) — "
                     f"spark ran, {len(spark_rows)} rows "
-                    f"({t_spark:.1f}s); exact compare needs a smaller sf"
+                    f"({t_spark:.1f}s); exact compare needs a smaller sf "
+                    f"[{msg}]"
                 )
                 if not spark_rows:
                     failures.append(name)
@@ -138,6 +167,10 @@ def main() -> int:
             continue
         if timer is not None:
             timer.cancel()
+            if fired is not None and fired.is_set():
+                # fired after completion: the stale interrupt flag would
+                # poison the next query — reconnect
+                con = make_con()
         t_duck = time.monotonic() - t0
 
         ok = True
