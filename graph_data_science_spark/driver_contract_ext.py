@@ -2735,6 +2735,42 @@ FROM tiles GROUP BY 1, 2, 3
 """
 
 
+def q_multimodal_video_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Y4M (Cmono) clips — the non-JPEG video decode route — ->
+    frame sampling every 500 ms -> per-frame pixel stats. The lossless
+    container means the oracle replays every pixel exactly without the
+    lossy-codec tile construction the MJPEG row needs."""
+    from .driver_contract import _documents
+    from .pipeline.multimodal import (
+        synthesize_gradient_y4m,
+        y4m_frame_stats,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id")
+    media = synthesize_gradient_y4m(
+        ids, width=PPM_W, height=PPM_H, n_frames=VID_FRAMES, fps=VID_FPS
+    )
+    return y4m_frame_stats(media, every_ms=VID_EVERY_MS)
+
+
+def sql_multimodal_video_raw() -> str:
+    dur = VID_FRAMES * 1000 // VID_FPS
+    return f"""
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+ts AS (SELECT media_id, t.ts,
+       LEAST(t.ts * {VID_FPS} // 1000, {VID_FRAMES - 1}) AS f
+       FROM ids, UNNEST(range(0, {dur + 1}, {VID_EVERY_MS})) AS t(ts)),
+px AS (SELECT media_id, ts, f,
+       (3 * x.x + 7 * y.y + 17 * f + media_id) % 256 AS v
+       FROM ts, UNNEST(range(0, {PPM_H})) AS y(y),
+            UNNEST(range(0, {PPM_W})) AS x(x))
+SELECT media_id, ts AS frame_ts_ms, f AS frame_index,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       MIN(v) AS pixel_min, MAX(v) AS pixel_max
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 def sql_multimodal_image() -> str:
     fy, fx = PPM_H // PPM_OUT_H, PPM_W // PPM_OUT_W
     return f"""
@@ -3639,6 +3675,7 @@ def ext_queries() -> dict:
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_video": q_multimodal_video,
+        "multimodal_video_raw": q_multimodal_video_raw,
         # BPE tokenizer (distributed counts exact; train/encode validity)
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_validity": q_bpe_validity,
@@ -3729,6 +3766,7 @@ def ext_oracle_sql() -> dict:
         "multimodal_png": sql_multimodal_image(),
         "multimodal_jpeg": sql_multimodal_jpeg(),
         "multimodal_video": sql_multimodal_video(),
+        "multimodal_video_raw": sql_multimodal_video_raw(),
         "bpe_word_counts": sql_bpe_word_counts(),
         "bpe_validity": sql_bpe_validity(),
         "corpus_stats": sql_corpus_stats(),

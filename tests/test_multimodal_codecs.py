@@ -486,3 +486,31 @@ def test_jpeg_fill_bytes_and_stray_rst_markers():
     # standalone TEM marker between header segments
     tem = payload[:2] + b"\xff\x01" + payload[2:]
     assert (decode_jpeg(tem) == base).all()
+
+
+def test_y4m_roundtrip_and_rejections():
+    """Y4M Cmono encode/decode roundtrip is bit-exact; chroma color
+    spaces reject loudly (ffmpeg territory, absent in this container)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graph_data_science_spark.pipeline.multimodal import (
+        encode_y4m,
+        parse_y4m,
+    )
+
+    frames = [
+        ((np.arange(24 * 32, dtype=np.int64).reshape(24, 32) * (f + 1))
+         % 256).astype(np.uint8)
+        for f in range(3)
+    ]
+    payload = encode_y4m(frames, fps_num=4)
+    num, den, w, h, out = parse_y4m(payload)
+    assert (num, den, w, h, len(out)) == (4, 1, 32, 24, 3)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    chroma = payload.replace(b"Cmono", b"C420 ", 1)
+    with _pytest.raises(NotImplementedError):
+        parse_y4m(chroma)
+    with _pytest.raises(ValueError):
+        parse_y4m(b"RIFFxxxx")
