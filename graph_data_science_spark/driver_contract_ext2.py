@@ -1372,6 +1372,112 @@ FROM embeddings
 """
 
 
+# -- approximate maximum k-cut ---------------------------------------------
+# Deterministic replay (hash init + gated synchronous local search — see
+# operators/maxkcut.py): the full per-node assignment AND the cut cost are
+# exact-checkable by unrolling the fixed iteration count in plain SQL.
+# Weighted MOD graph: w = ((src*7 + dst*13) % 10) + 1 on ORIGINAL supplier
+# keys, arithmetic in both engines. Internal ids are the sorted dense rank
+# (graph.py dense_ids invariant), replayed as ROW_NUMBER() OVER (ORDER BY id).
+MAXKCUT_K = 4
+MAXKCUT_ITERS = 6
+
+
+def _edges_mod_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_mod(spark, sf_dir)
+    return e.withColumn(
+        "weight",
+        (
+            F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(10)) + 1
+        ).cast("double"),
+    )
+
+
+def q_max_k_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.maxkcut import approx_max_k_cut
+
+    g = from_edge_df(_edges_mod_weighted(spark, sf_dir), weight="weight")
+    res = approx_max_k_cut(
+        g, MAXKCUT_K, iterations=MAXKCUT_ITERS, relationship_weight="weight"
+    )
+    out = res.assignment.join(
+        g.vertices.select("internal_id", "original_id"), "internal_id"
+    )
+    return out.select(
+        F.col("original_id").cast("long").alias("id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def _sql_maxkcut_ctes() -> str:
+    k, iters = MAXKCUT_K, MAXKCUT_ITERS
+    parts = [
+        _mod_header(),
+        "imap AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id)"
+        " - 1 AS iid FROM nodes)",
+        "we AS MATERIALIZED (SELECT ms.iid AS src, md.iid AS dst,"
+        " CAST(((e.src*7 + e.dst*13) % 10) + 1 AS DOUBLE) AS w"
+        " FROM edges e JOIN imap ms ON ms.id = e.src"
+        " JOIN imap md ON md.id = e.dst)",
+        "sym AS MATERIALIZED (SELECT src, dst, w FROM we UNION ALL"
+        " SELECT dst AS src, src AS dst, w FROM we)",
+        f"ks AS (SELECT range AS c FROM range({k}))",
+        f"c0 AS (SELECT iid, ((iid*2654435761 + 97) % 1000003) % {k}"
+        " AS comm FROM imap)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"w{t} AS (SELECT s.src AS iid, c.comm AS cand,"
+            f" SUM(s.w) AS wt FROM sym s JOIN c{t-1} c ON c.iid = s.dst"
+            " GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{t} AS (SELECT iid, cand FROM ("
+            "SELECT i.iid, k.c AS cand, ROW_NUMBER() OVER ("
+            "PARTITION BY i.iid ORDER BY COALESCE(w.wt, 0) ASC, k.c ASC"
+            ") AS rn FROM imap i CROSS JOIN ks k"
+            f" LEFT JOIN w{t} w ON w.iid = i.iid AND w.cand = k.c"
+            ") WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT c.iid, CASE WHEN"
+            f" ((c.iid*40503 + {t}*97) % 1000003) % 2 = 0"
+            f" THEN b.cand ELSE c.comm END AS comm"
+            f" FROM c{t-1} c JOIN b{t} b ON b.iid = c.iid)"
+        )
+    return "WITH\n" + ",\n".join(parts)
+
+
+def sql_max_k_cut() -> str:
+    return f"""
+{_sql_maxkcut_ctes()}
+SELECT im.id AS id, CAST(c{MAXKCUT_ITERS}.comm AS BIGINT) AS community
+FROM c{MAXKCUT_ITERS} JOIN imap im ON im.iid = c{MAXKCUT_ITERS}.iid
+"""
+
+
+def q_max_k_cut_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.maxkcut import approx_max_k_cut
+
+    g = from_edge_df(_edges_mod_weighted(spark, sf_dir), weight="weight")
+    res = approx_max_k_cut(
+        g, MAXKCUT_K, iterations=MAXKCUT_ITERS, relationship_weight="weight"
+    )
+    return spark.createDataFrame(
+        [(float(res.cut_cost),)], "cut_cost double"
+    )
+
+
+def sql_max_k_cut_cost() -> str:
+    n = MAXKCUT_ITERS
+    return f"""
+{_sql_maxkcut_ctes()}
+SELECT CAST(COALESCE(SUM(CASE WHEN cs.comm != cd.comm THEN we.w
+                              ELSE 0 END), 0) AS DOUBLE) AS cut_cost
+FROM we JOIN c{n} cs ON cs.iid = we.src JOIN c{n} cd ON cd.iid = we.dst
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -1397,6 +1503,8 @@ def ext2_queries() -> dict:
         "node_similarity_weighted": q_node_similarity_weighted,
         "filtered_knn": q_filtered_knn,
         "kmeans_validity": q_kmeans_validity,
+        "max_k_cut": q_max_k_cut,
+        "max_k_cut_cost": q_max_k_cut_cost,
     }
 
 
@@ -1425,4 +1533,6 @@ def ext2_oracle_sql() -> dict:
         "node_similarity_weighted": sql_node_similarity_weighted(),
         "filtered_knn": sql_filtered_knn(),
         "kmeans_validity": sql_kmeans_validity(),
+        "max_k_cut": sql_max_k_cut(),
+        "max_k_cut_cost": sql_max_k_cut_cost(),
     }

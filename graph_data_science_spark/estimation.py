@@ -212,6 +212,14 @@ def _estimators() -> dict:
             ("superstep messages (both directions)", 0, 2 * m * _MSG),
         ])
 
+    def maxkcut(n, m, c):
+        k = int(c.get("k", 2)) if c else 2
+        return _tree("maxkcut", [
+            ("assignment", 8 * n, 8 * n),
+            ("candidate (node, community) grid", 0, k * n * 24),
+            ("weight-to-community messages", 0, 2 * m * _MSG),
+        ])
+
     def knn(n, m, c):
         k = c.get("top_k", 10)
         dim = c.get("dim", 128)
@@ -343,6 +351,7 @@ def _estimators() -> dict:
         "node2vec": node2vec, "closeness": closeness, "harmonic": closeness,
         "sssp": sssp, "dijkstra": sssp, "scc": scc,
         "k1coloring": k1coloring, "kcore": kcore, "hits": hits, "knn": knn,
+        "maxkcut": maxkcut,
         "all_shortest_paths": all_shortest_paths,
         "topological_sort": topological_sort,
         "dag_longest_path": topological_sort,
