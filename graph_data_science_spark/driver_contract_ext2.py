@@ -1478,6 +1478,65 @@ FROM we JOIN c{n} cs ON cs.iid = we.src JOIN c{n} cd ON cd.iid = we.dst
 """
 
 
+# -- HDBSCAN ---------------------------------------------------------------
+# Arithmetic planted blobs over supplier keys: blob b = s % 5, center
+# (1000·b, 1000·((b·3) % 5)), jitter < 1.2 — separation/spread ≈ 1000 and
+# min_cluster_size > half a blob, so density clustering MUST return exactly
+# the s % 5 partition with zero noise (no internal split can produce two
+# ≥ min_cluster_size children; intermediate merge clusters have zero
+# directly-falling points so excess-of-mass always selects the blob level).
+# Labels are schedule-free after canonicalization to MIN member id ⇒ the
+# full assignment is exact-checkable in SQL with no clustering replay.
+def q_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hdbscan import hdbscan
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = supp.count()
+    chain = supp.select(
+        F.col("s_suppkey").alias("src"),
+        F.pmod(F.col("s_suppkey") + 1, F.lit(n)).alias("dst"),
+    )
+    g = from_edge_df(chain)
+    b = F.pmod(F.col("original_id"), F.lit(5))
+    vec = F.array(
+        (b * 1000.0) + F.pmod(F.col("original_id") * 37, F.lit(97)) / 97.0,
+        (F.pmod(b * 3, F.lit(5)) * 1000.0)
+        + F.pmod(F.col("original_id") * 53, F.lit(89)) / 89.0,
+    )
+    g.vertices = g.vertices.withColumn("vec", vec)
+    blob = max(2, n // 5)
+    res = hdbscan(
+        g, "vec",
+        samples=max(1, min(3, blob - 1)),
+        min_cluster_size=max(2, int(0.6 * blob)),
+    )
+    labeled = res.labels.join(
+        g.vertices.select("internal_id", "original_id"), "internal_id"
+    )
+    rep = labeled.groupBy("label").agg(
+        F.min("original_id").alias("cluster_rep")
+    )
+    return (
+        labeled.join(rep, "label")
+        .select(
+            F.col("original_id").cast("long").alias("id"),
+            F.when(F.col("label") < 0, F.lit(-1))
+            .otherwise(F.col("cluster_rep"))
+            .cast("long")
+            .alias("cluster_rep"),
+        )
+    )
+
+
+def sql_hdbscan() -> str:
+    return """
+SELECT CAST(s_suppkey AS BIGINT) AS id,
+       CAST(MIN(s_suppkey) OVER (PARTITION BY s_suppkey % 5) AS BIGINT)
+         AS cluster_rep
+FROM supplier
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -1505,6 +1564,7 @@ def ext2_queries() -> dict:
         "kmeans_validity": q_kmeans_validity,
         "max_k_cut": q_max_k_cut,
         "max_k_cut_cost": q_max_k_cut_cost,
+        "hdbscan": q_hdbscan,
     }
 
 
@@ -1535,4 +1595,5 @@ def ext2_oracle_sql() -> dict:
         "kmeans_validity": sql_kmeans_validity(),
         "max_k_cut": sql_max_k_cut(),
         "max_k_cut_cost": sql_max_k_cut_cost(),
+        "hdbscan": sql_hdbscan(),
     }

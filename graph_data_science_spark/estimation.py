@@ -212,6 +212,16 @@ def _estimators() -> dict:
             ("superstep messages (both directions)", 0, 2 * m * _MSG),
         ])
 
+    def hdbscan(n, m, c):
+        k = int(c.get("samples", 5)) if c else 5
+        return _tree("hdbscan", [
+            ("kNN pairs (exact baseline n²; bucketed with knn_edges)",
+             0, n * n * 16),
+            ("core distances", 16 * n, 16 * n),
+            ("MST forest (driver, condensation)", 24 * n, 24 * n),
+            ("kNN edge table", 24 * k * n, 24 * k * n),
+        ])
+
     def maxkcut(n, m, c):
         k = int(c.get("k", 2)) if c else 2
         return _tree("maxkcut", [
@@ -351,7 +361,7 @@ def _estimators() -> dict:
         "node2vec": node2vec, "closeness": closeness, "harmonic": closeness,
         "sssp": sssp, "dijkstra": sssp, "scc": scc,
         "k1coloring": k1coloring, "kcore": kcore, "hits": hits, "knn": knn,
-        "maxkcut": maxkcut,
+        "maxkcut": maxkcut, "hdbscan": hdbscan,
         "all_shortest_paths": all_shortest_paths,
         "topological_sort": topological_sort,
         "dag_longest_path": topological_sort,
