@@ -152,12 +152,50 @@ def run(cpus: int, edges_path: str, iters: int, parts: int) -> dict:
         # the driver shares the pinned set here but has its own node on
         # a cluster.)
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    pinned = (
+        range(cpus) if os.environ.get("BENCH_PIN_CORES") else None
+    )
+    steal0 = _steal_jiffies(pinned)
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, check=True, env=env,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    if steal0 is not None:
+        # hypervisor steal ON THE PINNED CORES during the whole child run
+        # (JVM boot + timed region), in CPU-seconds. The sandbox shares
+        # its host: bursts of 20+ stolen CPU-s/30s were observed VM-wide,
+        # enough to halve a pinned 2-core rep. Recorded per rep so
+        # contaminated reps are auditable and the steal-clean median can
+        # be reported alongside the raw one.
+        s1 = _steal_jiffies(pinned)
+        if s1 is not None:
+            res["steal_cpu_sec"] = round((s1 - steal0) / 100.0, 1)
+    return res
+
+
+def _steal_jiffies(pinned_cores):
+    """Sum of steal jiffies over ``pinned_cores`` (an iterable of core
+    ids), or the machine-wide row when None."""
+    try:
+        want = (
+            {"cpu"} if pinned_cores is None
+            else {f"cpu{c}" for c in pinned_cores}
+        )
+        total = 0
+        seen = 0
+        with open("/proc/stat") as f:
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] in want:
+                    if len(parts) <= 8:
+                        return None
+                    total += int(parts[8])
+                    seen += 1
+        return total if seen else None
+    except (OSError, ValueError):
+        return None
 
 
 def bench_pair(
@@ -171,19 +209,46 @@ def bench_pair(
     med_s = statistics.median(r["eps"] for r in smalls)
     med_b = statistics.median(r["eps"] for r in bigs)
     eff = (med_b / med_s) / (n_big / n_small)
-    return {
+
+    def side(runs, cpus):
+        d = {"cpus": cpus,
+             "eps_runs": [round(r["eps"]) for r in runs],
+             "sec_runs": [round(r["sec"], 1) for r in runs],
+             "eps_median": round(statistics.median(
+                 r["eps"] for r in runs))}
+        if "steal_cpu_sec" in runs[0]:
+            d["steal_cpu_sec"] = [r["steal_cpu_sec"] for r in runs]
+        return d
+
+    out = {
         "edges": bigs[0]["edges"],
         "supersteps": bigs[0]["supersteps"],
-        "small": {"cpus": n_small,
-                  "eps_runs": [round(r["eps"]) for r in smalls],
-                  "sec_runs": [round(r["sec"], 1) for r in smalls],
-                  "eps_median": round(med_s)},
-        "big": {"cpus": n_big,
-                "eps_runs": [round(r["eps"]) for r in bigs],
-                "sec_runs": [round(r["sec"], 1) for r in bigs],
-                "eps_median": round(med_b)},
+        "small": side(smalls, n_small),
+        "big": side(bigs, n_big),
         "scaling_efficiency": round(eff, 3),
     }
+    # steal-clean view: drop reps where the hypervisor stole more than
+    # 5% of the side's pinned CPU budget (cpus × wall sec) — on a
+    # dedicated cluster (the north rule's actual setting) those bursts
+    # don't exist. Raw medians above stay the headline; this is the
+    # auditable corrected read, only emitted when it has ≥2 clean reps
+    # per side.
+    if "steal_cpu_sec" in smalls[0]:
+        def clean(runs, cpus):
+            return [r for r in runs
+                    if r["steal_cpu_sec"] <= 0.05 * cpus * r["sec"]]
+        cs, cb = clean(smalls, n_small), clean(bigs, n_big)
+        if len(cs) >= 2 and len(cb) >= 2:
+            ms = statistics.median(r["eps"] for r in cs)
+            mb = statistics.median(r["eps"] for r in cb)
+            out["steal_clean"] = {
+                "small_reps_kept": len(cs), "big_reps_kept": len(cb),
+                "small_eps_median": round(ms),
+                "big_eps_median": round(mb),
+                "scaling_efficiency": round(
+                    (mb / ms) / (n_big / n_small), 3),
+            }
+    return out
 
 
 def main() -> None:
