@@ -1317,7 +1317,7 @@ SELECT node1, node2, ROUND(similarity, 4) AS similarity FROM (
 KMEANS_K = 6
 
 
-def q_kmeans_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kmeans_node_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.kmeans over the embeddings table (GDS 2.x surface). Centroid
     float sums are shuffle-order sensitive (see kmeans_fit docstring),
     so the oracle is structural: one output row per vector, community
@@ -1362,7 +1362,7 @@ def q_kmeans_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_kmeans_validity() -> str:
+def sql_kmeans_node_validity() -> str:
     return """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(1 AS BIGINT) AS communities_bounded,
@@ -1537,6 +1537,324 @@ FROM supplier
 """
 
 
+# -- CNARW graph sampling ---------------------------------------------------
+# gds.graph.sample.cnarw (GDS 2.4): common-neighbour-aware random walk.
+# One batch with the portable md5 hash: the per-edge integer transition
+# weights (1 + floor((1 − cn/min(d)) × 65536)), the prefix ranges, the
+# restart gate and the range pick are all exact integer/rational
+# arithmetic, so DuckDB replays every step of every walk and the sampled
+# node set matches exactly.
+CNARW_WALKS = 48
+CNARW_LEN = 6
+CNARW_GATE = 100_000  # restart_probability 0.1 × 1e6
+
+
+def q_cnarw_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract_ext import _n_supp
+    from .graph import from_dense_edge_df
+    from .operators.graphsample import cnarw_sample_nodes
+
+    e = edges_mod(spark, sf_dir)
+    ns = _n_supp(spark, sf_dir)
+    g = from_dense_edge_df(e, n_vertices=ns + 1)
+    nodes = cnarw_sample_nodes(
+        g,
+        sampling_ratio=1.0,  # capped by max_batches: sample = batch 0
+        restart_probability=0.1,
+        start_nodes=[1],
+        walks_per_batch=CNARW_WALKS,
+        walk_length=CNARW_LEN,
+        max_batches=1,
+        base_hash="md5",
+    )
+    return nodes.select(F.col("internal_id").alias("id"))
+
+
+def sql_cnarw_sample() -> str:
+    return f"""
+WITH RECURSIVE
+{_mod_header()},
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+cn AS MATERIALIZED (
+  SELECT g.src AS u, g.dst AS v, COALESCE(w.cn, 0) AS cn
+  FROM e g LEFT JOIN (
+    SELECT e1.src AS u, e2.src AS v, COUNT(*) AS cn
+    FROM e e1 JOIN e e2 ON e1.dst = e2.dst
+    GROUP BY e1.src, e2.src
+  ) w ON w.u = g.src AND w.v = g.dst),
+wt AS MATERIALIZED (
+  SELECT cn.u AS src, cn.v AS dst,
+         1 + CAST(FLOOR((1.0 - cn.cn / GREATEST(
+               LEAST(du.d, COALESCE(dv.d, 0)), 1)) * 65536) AS BIGINT)
+           AS w_int
+  FROM cn
+  JOIN deg du ON du.src = cn.u
+  LEFT JOIN deg dv ON dv.src = cn.v),
+cum AS MATERIALIZED (
+  SELECT src, dst, w_int,
+         SUM(w_int) OVER (PARTITION BY src ORDER BY dst
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w_int
+           AS lo
+  FROM wt),
+tt AS MATERIALIZED (SELECT src, SUM(w_int) AS tot FROM wt GROUP BY src),
+starts AS (SELECT 1 * {CNARW_WALKS} + r.rep AS walk_id, 1 AS start
+           FROM UNNEST(range(0, {CNARW_WALKS})) AS r(rep)),
+walk(walk_id, start, step, cur) AS (
+  SELECT walk_id, start, 0, start FROM starts
+  UNION ALL
+  SELECT w.walk_id, w.start, w.step + 1,
+         CASE WHEN ('0x' || substr(md5(w.walk_id::VARCHAR || '|' ||
+                    w.step::VARCHAR || '|42|r'), 1, 15))::BIGINT
+                   % 1000000 < {CNARW_GATE}
+                   OR t.tot IS NULL
+              THEN w.start ELSE c.dst END
+  FROM walk w
+  LEFT JOIN tt t ON t.src = w.cur
+  LEFT JOIN cum c ON c.src = w.cur
+   AND (('0x' || substr(md5(w.walk_id::VARCHAR || '|' ||
+        w.step::VARCHAR || '|42|n'), 1, 15))::BIGINT % t.tot) >= c.lo
+   AND (('0x' || substr(md5(w.walk_id::VARCHAR || '|' ||
+        w.step::VARCHAR || '|42|n'), 1, 15))::BIGINT % t.tot)
+       < c.lo + c.w_int
+  WHERE w.step < {CNARW_LEN}
+)
+SELECT DISTINCT cur AS id FROM walk
+"""
+
+
+# -- prize-collecting Steiner tree -----------------------------------------
+# gds.prizeSteinerTree (GDS 2.5 surface). The rooted strong-prune DP is
+# EXACT on tree inputs, so the contract graph is a deterministic
+# binary-heap tree over supplier keys (parent = v div 2) with arithmetic
+# integer weights/prizes — the oracle replays the same DP as a chained
+# fixed-point CTE: D bottom-up value iterations (one level propagates
+# per iteration) then D top-down keep iterations. All margins are
+# integer-valued, so float identity is exact.
+PCST_DEPTH = 16  # covers 2^16 suppliers (sf up to ~6.5; sf1 needs 14)
+
+
+def _pcst_tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return supp.filter(F.col("s_suppkey") >= 2).select(
+        F.col("s_suppkey").alias("src"),
+        ((F.col("s_suppkey") - F.col("s_suppkey") % 2) / 2)
+        .cast("long")
+        .alias("dst"),
+        (((F.col("s_suppkey") * 13) % 7) + 1).cast("double").alias(
+            "weight"
+        ),
+    )
+
+
+def q_prize_steiner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_contract_ext import _n_supp
+    from .graph import from_dense_edge_df
+    from .operators.pcst import prize_steiner_tree
+
+    ns = _n_supp(spark, sf_dir)
+    # dense fast path keeps internal ids == original suppkeys (vertex 0
+    # is isolated with prize 0 — rooted mode drops foreign-tree centers)
+    g = from_dense_edge_df(
+        _pcst_tree_edges(spark, sf_dir), n_vertices=ns + 1, weight="weight"
+    )
+    prizes = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("internal_id"),
+        ((F.col("s_suppkey") * 11) % 10).cast("double").alias("prize"),
+    )
+    import dataclasses
+
+    g = dataclasses.replace(
+        g,
+        vertices=g.vertices.join(prizes, "internal_id", "left").fillna(
+            {"prize": 0.0}
+        ),
+    )
+    return prize_steiner_tree(g, root=1).select(
+        F.col("internal_id").alias("id"),
+        "parent",
+        F.col("weight").cast("double").alias("weight"),
+    )
+
+
+def sql_prize_steiner() -> str:
+    d = PCST_DEPTH
+    ctes = [
+        """nodes AS MATERIALIZED (
+  SELECT s_suppkey AS v,
+         CAST((s_suppkey - s_suppkey % 2) / 2 AS BIGINT) AS parent,
+         CAST(((s_suppkey * 13) % 7) + 1 AS DOUBLE) AS w,
+         CAST((s_suppkey * 11) % 10 AS DOUBLE) AS p
+  FROM supplier
+)""",
+        "val0 AS MATERIALIZED (SELECT v, p AS val FROM nodes)",
+    ]
+    # every chained CTE MUST be MATERIALIZED: DuckDB inlines plain CTEs
+    # at every reference site, and keep{k+1} references keep{k} twice —
+    # unmaterialized that expands the plan 2^D-fold (observed: 21 GB of
+    # planner memory at D=16 on a 100-row table)
+    for k in range(d):
+        ctes.append(f"""val{k + 1} AS MATERIALIZED (
+  SELECT n.v,
+         n.p + COALESCE(SUM(CASE WHEN c.val - cn.w > 0
+                                 THEN c.val - cn.w ELSE 0 END), 0) AS val
+  FROM nodes n
+  LEFT JOIN nodes cn ON cn.parent = n.v AND cn.v >= 2
+  LEFT JOIN val{k} c ON c.v = cn.v
+  GROUP BY n.v, n.p
+)""")
+    ctes.append("keep0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS v)")
+    for k in range(d):
+        ctes.append(f"""keep{k + 1} AS MATERIALIZED (
+  SELECT v FROM keep{k}
+  UNION
+  SELECT n.v FROM nodes n
+  JOIN keep{k} kk ON n.parent = kk.v
+  JOIN val{d} f ON f.v = n.v
+  WHERE n.v >= 2 AND f.val - n.w > 0
+)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT n.v AS id,
+       CASE WHEN n.v = 1 THEN CAST(1 AS BIGINT) ELSE n.parent END
+         AS parent,
+       CASE WHEN n.v = 1 THEN 0.0 ELSE n.w END AS weight
+FROM nodes n JOIN keep{d} k ON k.v = n.v
+"""
+
+
+def q_prize_steiner_unrooted_validity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unrooted mode on the weighted MOD graph: output is a valid forest
+    (every parent kept; one self-row per tree), and its net worth is at
+    least the best single-vertex prize (the fallback guarantee)."""
+    from .operators.pcst import prize_steiner_tree
+
+    g = from_edge_df(_edges_mod_weighted(spark, sf_dir), weight="weight")
+    prizes_df = g.vertices.select(
+        "internal_id",
+        ((F.col("internal_id") * 3) % 11).cast("double").alias("prize"),
+    )
+    import dataclasses
+
+    g2 = dataclasses.replace(
+        g, vertices=g.vertices.join(prizes_df, "internal_id")
+    )
+    metrics = {}
+    out = prize_steiner_tree(g2, metrics_out=metrics).localCheckpoint(
+        eager=True
+    )
+    nw = metrics["sumOfPrizes"] - metrics["totalWeight"]
+    best_single = prizes_df.agg(F.max("prize")).collect()[0][0]
+    orphans = (
+        out.join(
+            out.select(F.col("internal_id").alias("parent")).distinct(),
+            "parent",
+            "left_anti",
+        ).count()
+    )
+    return spark.createDataFrame(
+        [(int(out.count() > 0), int(orphans),
+          bool(nw >= float(best_single)))],
+        "nonempty long, orphan_parents long, beats_best_single boolean",
+    )
+
+
+def sql_prize_steiner_unrooted_validity() -> str:
+    return """
+SELECT CAST(1 AS BIGINT) AS nonempty, CAST(0 AS BIGINT) AS orphan_parents,
+       TRUE AS beats_best_single
+"""
+
+
+# -- node regression pipeline ----------------------------------------------
+# gds.alpha.pipeline.nodeRegression with a single OLS candidate
+# (penalty 0, solver="normal") is exact linear least squares on the
+# deterministic hash-split train set — the oracle re-solves the same 3x3
+# normal-equation system with Cramer's rule in plain SQL and replays the
+# per-node predictions. Features/target are arithmetic in s_suppkey so
+# both engines see identical inputs; target carries deterministic
+# "noise" so the fit is a genuine regression, not an identity.
+NR_SEED = 42
+NR_TEST_CUT = int(0.3 * 1_000_003)  # mlpipe split: h < cut -> test
+
+
+def q_node_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import Graph
+    from .operators.mlpipe import (
+        node_regression_predict,
+        node_regression_train,
+    )
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("internal_id"),
+        (F.col("s_suppkey") % 17).cast("double").alias("f1"),
+        ((F.col("s_suppkey") * 7) % 23).cast("double").alias("f2"),
+        (
+            3.0 * (F.col("s_suppkey") % 17)
+            - 2.0 * ((F.col("s_suppkey") * 7) % 23)
+            + 5.0
+            + ((F.col("s_suppkey") % 7) - 3) * 0.01
+        ).alias("y"),
+    )
+    g = Graph(supp, spark.createDataFrame([], "src long, dst long"))
+    model = node_regression_train(
+        g,
+        feature_cols=["f1", "f2"],
+        target_col="y",
+        params=[{"penalty": 0.0, "solver": "normal"}],
+        metric="ROOT_MEAN_SQUARED_ERROR",
+        seed=NR_SEED,
+    )
+    return node_regression_predict(model, g).select(
+        F.col("internal_id").alias("id"),
+        F.round("predicted_value", 4).alias("predicted_value"),
+    )
+
+
+def sql_node_regression() -> str:
+    return f"""
+WITH feat AS (
+  SELECT s_suppkey AS id,
+         CAST(s_suppkey % 17 AS DOUBLE) AS f1,
+         CAST((s_suppkey * 7) % 23 AS DOUBLE) AS f2,
+         3.0 * (s_suppkey % 17) - 2.0 * ((s_suppkey * 7) % 23) + 5.0
+           + ((s_suppkey % 7) - 3) * 0.01 AS y
+  FROM supplier
+),
+train AS (
+  SELECT * FROM feat
+  WHERE (id * 2654435761 + {NR_SEED} * 97) % 1000003 >= {NR_TEST_CUT}
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(f1) AS s1, SUM(f2) AS s2,
+         SUM(f1*f1) AS s11, SUM(f1*f2) AS s12, SUM(f2*f2) AS s22,
+         SUM(y) AS sy, SUM(f1*y) AS s1y, SUM(f2*y) AS s2y
+  FROM train
+),
+-- Cramer's rule on M [b0 b1 b2]^T = [sy s1y s2y]^T,
+-- M = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+coef AS (
+  SELECT
+    (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+       + s2*(s1*s12 - s11*s2)) AS det,
+    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+       + s2*(s1y*s12 - s11*s2y)) AS det0,
+    (n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2)
+       + s2*(s1*s2y - s1y*s2)) AS det1,
+    (n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2)
+       + sy*(s1*s12 - s11*s2)) AS det2
+  FROM sums
+)
+SELECT f.id,
+       ROUND(c.det0/c.det + c.det1/c.det * f.f1 + c.det2/c.det * f.f2, 4)
+         AS predicted_value
+FROM feat f CROSS JOIN coef c
+"""
+
+
 def ext2_queries() -> dict:
     return {
         "topological_sort": q_topological_sort,
@@ -1561,7 +1879,11 @@ def ext2_queries() -> dict:
         "filtered_node_similarity": q_filtered_node_similarity,
         "node_similarity_weighted": q_node_similarity_weighted,
         "filtered_knn": q_filtered_knn,
-        "kmeans_validity": q_kmeans_validity,
+        "kmeans_node_validity": q_kmeans_node_validity,
+        "node_regression": q_node_regression,
+        "cnarw_sample": q_cnarw_sample,
+        "prize_steiner": q_prize_steiner,
+        "prize_steiner_unrooted_validity": q_prize_steiner_unrooted_validity,
         "max_k_cut": q_max_k_cut,
         "max_k_cut_cost": q_max_k_cut_cost,
         "hdbscan": q_hdbscan,
@@ -1592,7 +1914,12 @@ def ext2_oracle_sql() -> dict:
         "filtered_node_similarity": sql_filtered_node_similarity(),
         "node_similarity_weighted": sql_node_similarity_weighted(),
         "filtered_knn": sql_filtered_knn(),
-        "kmeans_validity": sql_kmeans_validity(),
+        "kmeans_node_validity": sql_kmeans_node_validity(),
+        "node_regression": sql_node_regression(),
+        "cnarw_sample": sql_cnarw_sample(),
+        "prize_steiner": sql_prize_steiner(),
+        "prize_steiner_unrooted_validity":
+            sql_prize_steiner_unrooted_validity(),
         "max_k_cut": sql_max_k_cut(),
         "max_k_cut_cost": sql_max_k_cut_cost(),
         "hdbscan": sql_hdbscan(),

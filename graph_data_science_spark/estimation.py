@@ -230,6 +230,24 @@ def _estimators() -> dict:
             ("weight-to-community messages", 0, 2 * m * _MSG),
         ])
 
+    def prize_steiner(n, m, c):
+        return _tree("prize_steiner", [
+            ("MSF forest edges", 24 * n, 24 * n),
+            ("Borůvka component labels + cheapest-edge picks",
+             16 * n, 16 * n + m * _MSG),
+            ("peel state (val + parent + kept)", 33 * n, 33 * n),
+            ("pointer-doubling chain resolution", 17 * n, 17 * n),
+        ])
+
+    def node_regression(n, m, c):
+        d = int(c.get("features", 2)) if c else 2
+        return _tree("node_regression", [
+            ("feature vectors", n * d * 8, n * d * 8),
+            ("normal-equation partials (d+1)^2 per partition",
+             (d + 1) * (d + 1) * 8, (d + 1) * (d + 1) * 8 * 64),
+            ("split hash projections", 0, 8 * n),
+        ])
+
     def knn(n, m, c):
         k = c.get("top_k", 10)
         dim = c.get("dim", 128)
@@ -362,6 +380,8 @@ def _estimators() -> dict:
         "sssp": sssp, "dijkstra": sssp, "scc": scc,
         "k1coloring": k1coloring, "kcore": kcore, "hits": hits, "knn": knn,
         "maxkcut": maxkcut, "hdbscan": hdbscan,
+        "prize_steiner": prize_steiner,
+        "node_regression": node_regression,
         "all_shortest_paths": all_shortest_paths,
         "topological_sort": topological_sort,
         "dag_longest_path": topological_sort,

@@ -400,3 +400,160 @@ def link_prediction_predict(
         .orderBy(F.desc("probability"), "src", "dst")
         .limit(top_n)
     )
+
+
+# ---------------------------------------------------------------------------
+# node regression
+# ---------------------------------------------------------------------------
+MSE = "MEAN_SQUARED_ERROR"
+RMSE = "ROOT_MEAN_SQUARED_ERROR"
+MAE = "MEAN_ABSOLUTE_ERROR"
+_NR_METRICS = (MSE, RMSE, MAE)
+
+
+@dataclass
+class NodeRegressionModel:
+    model: object  # fitted LinearRegressionModel / RandomForestRegressionModel
+    feature_cols: list[str]
+    best_params: dict
+    metrics: dict = field(default_factory=dict)
+
+    @property
+    def name(self) -> str:
+        return "nodeRegression"
+
+
+def _nr_estimator(params: dict):
+    """LINEAR_REGRESSION (default) or RANDOM_FOREST — the two model
+    families the reference's node-regression pipeline trains
+    (pipeline/src/main/java/org/neo4j/gds/ml/pipeline/nodePipeline/
+    regression/NodeRegressionTrain.java; candidates are
+    LinearRegressionTrainConfig / RandomForestRegressorTrainerConfig).
+    Both map to their MLlib counterparts: JVM-side, distributed fit."""
+    kind = params.get("model", "LINEAR_REGRESSION")
+    if kind == "RANDOM_FOREST":
+        from pyspark.ml.regression import RandomForestRegressor
+
+        return RandomForestRegressor(
+            featuresCol="features",
+            labelCol="label",
+            predictionCol="prediction",
+            numTrees=int(params.get("num_trees", 20)),
+            maxDepth=int(params.get("max_depth", 5)),
+            seed=int(params.get("seed", 42)),
+        )
+    from pyspark.ml.regression import LinearRegression
+
+    return LinearRegression(
+        featuresCol="features",
+        labelCol="label",
+        predictionCol="prediction",
+        regParam=float(params.get("penalty", 0.0)),
+        elasticNetParam=float(params.get("elastic_net", 0.0)),
+        maxIter=int(params.get("max_iterations", 100)),
+        tol=float(params.get("tolerance", 1e-6)),
+        # penalty 0 + "normal" = exact OLS via the normal equations —
+        # deterministic and replayable in closed form (the contract
+        # oracle solves the same 3x3 system with Cramer's rule in SQL)
+        solver=params.get("solver", "auto"),
+        standardization=False,
+    )
+
+
+def _fit_nr(params: dict, df: DataFrame):
+    """Fit + summary-strip via a save/load round-trip (same session-
+    serializability hazard as ``_fit`` — see its docstring)."""
+    import shutil
+    import tempfile
+
+    m = _nr_estimator(params).fit(df)
+    path = tempfile.mkdtemp(prefix="gds_nr_")
+    try:
+        m.write().overwrite().save(path)
+        return type(m).load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _nr_metric(pred: DataFrame, metric: str) -> float:
+    """MSE / RMSE / MAE as one DataFrame aggregation (lower is better)."""
+    err = F.col("prediction") - F.col("label")
+    agg = F.avg(F.abs(err)) if metric == MAE else F.avg(err * err)
+    row = pred.agg(agg.alias("m")).collect()[0]
+    v = float(row["m"] or 0.0)
+    return v ** 0.5 if metric == RMSE else v
+
+
+def node_regression_train(
+    graph: Graph,
+    *,
+    feature_cols: list[str],
+    target_col: str,
+    params: list[dict] | None = None,
+    metric: str = RMSE,
+    holdout_fraction: float = 0.3,
+    seed: int = 42,
+) -> NodeRegressionModel:
+    """Model-selecting node-regression training
+    (gds.alpha.pipeline.nodeRegression.train — NodeRegressionTrain.java).
+
+    Identical schedule to :func:`node_classification_train`: deterministic
+    arithmetic hash split → per-candidate fit on train, score on
+    validation (lower = better for all three regression metrics) → best
+    candidate refit on train∪validation → held-out test metric. The split
+    hash is partition-independent, so the fitted model is a pure function
+    of (graph, params, seed) up to float summation order.
+    """
+    if metric not in _NR_METRICS:
+        raise ValueError(f"metric must be one of {_NR_METRICS}")
+    params = params or [{"penalty": 0.0}, {"penalty": 0.1}]
+    labeled = _node_features(graph, feature_cols).join(
+        graph.vertices.select(
+            "internal_id", F.col(target_col).cast("double").alias("label")
+        ),
+        "internal_id",
+    )
+    h = F.pmod(
+        F.col("internal_id") * F.lit(2654435761) + F.lit(seed * 97),
+        F.lit(_SPLIT_MOD),
+    )
+    test_cut = int(holdout_fraction * _SPLIT_MOD)
+    test = labeled.filter(h < test_cut)
+    rest = labeled.filter(h >= test_cut)
+    val_cut = test_cut + int(holdout_fraction * (_SPLIT_MOD - test_cut))
+    val = rest.filter(h < val_cut)
+    train = rest.filter(h >= val_cut)
+    train = train.cache()
+    val = val.cache()
+
+    best, best_score, best_params = None, float("inf"), params[0]
+    val_scores = []
+    for p in params:
+        m = _fit_nr(p, train)
+        s = _nr_metric(m.transform(val), metric)
+        val_scores.append({"params": p, metric: round(s, 6)})
+        if s < best_score:
+            best, best_score, best_params = m, s, p
+    final = _fit_nr(best_params, rest)
+    test_score = _nr_metric(final.transform(test), metric)
+    train_score = _nr_metric(final.transform(rest), metric)
+    return NodeRegressionModel(
+        final,
+        feature_cols,
+        best_params,
+        metrics={
+            "validation": val_scores,
+            "outer_train": {metric: round(train_score, 6)},
+            "test": {metric: round(test_score, 6)},
+        },
+    )
+
+
+def node_regression_predict(
+    model: NodeRegressionModel, graph: Graph
+) -> DataFrame:
+    """(internal_id, predicted_value) for every node in the graph."""
+    feats = _node_features(graph, model.feature_cols)
+    return model.model.transform(feats).select(
+        "internal_id", F.col("prediction").alias("predicted_value")
+    )

@@ -205,3 +205,86 @@ def test_graphsage_all_batches_schedule(spark):
 
     single = graphsage_train(g, max_batches=1, **kw)
     assert separation(model) >= separation(single) - 1e-6
+
+
+# ---------------------------------------------------------------------------
+# node regression
+# ---------------------------------------------------------------------------
+def _regression_graph(spark, n=120):
+    """Deterministic linear target y = 3*f1 - 2*f2 + 5 (+ tiny noise)."""
+    from graph_data_science_spark.graph import Graph
+
+    rows = [
+        (i, float(i % 17), float((i * 7) % 23),
+         3.0 * (i % 17) - 2.0 * ((i * 7) % 23) + 5.0 + ((i % 7) - 3) * 0.01)
+        for i in range(1, n + 1)
+    ]
+    v = spark.createDataFrame(
+        rows, "internal_id long, f1 double, f2 double, y double"
+    )
+    return Graph(v, spark.createDataFrame([], "src long, dst long"))
+
+
+def test_node_regression_recovers_linear_rule(spark):
+    from graph_data_science_spark.operators.mlpipe import (
+        node_regression_predict,
+        node_regression_train,
+    )
+
+    g = _regression_graph(spark)
+    model = node_regression_train(
+        g, feature_cols=["f1", "f2"], target_col="y",
+        params=[{"penalty": 0.0, "solver": "normal"}], seed=42,
+    )
+    # OLS on a near-noiseless linear target: coefficients ~ (3, -2),
+    # intercept ~ 5, and test RMSE at the noise floor (<0.05)
+    coefs = list(model.model.coefficients)
+    assert abs(coefs[0] - 3.0) < 0.05 and abs(coefs[1] + 2.0) < 0.05
+    assert abs(model.model.intercept - 5.0) < 0.2
+    assert model.metrics["test"]["ROOT_MEAN_SQUARED_ERROR"] < 0.05
+    pred = node_regression_predict(model, g)
+    bad = (
+        pred.join(g.vertices, "internal_id")
+        .filter(F.abs(F.col("predicted_value") - F.col("y")) > 0.1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_node_regression_model_selection_prefers_unpenalized(spark):
+    from graph_data_science_spark.operators.mlpipe import (
+        node_regression_train,
+    )
+
+    g = _regression_graph(spark)
+    model = node_regression_train(
+        g, feature_cols=["f1", "f2"], target_col="y",
+        params=[{"penalty": 100.0}, {"penalty": 0.0, "solver": "normal"}],
+        metric="MEAN_ABSOLUTE_ERROR", seed=42,
+    )
+    # the heavy ridge penalty shrinks coefficients and loses validation
+    assert model.best_params == {"penalty": 0.0, "solver": "normal"}
+    scores = {str(s["params"]): s["MEAN_ABSOLUTE_ERROR"]
+              for s in model.metrics["validation"]}
+    assert scores["{'penalty': 0.0, 'solver': 'normal'}"] < scores[
+        "{'penalty': 100.0}"]
+
+
+def test_node_regression_random_forest_candidate(spark):
+    from graph_data_science_spark.operators.mlpipe import (
+        node_regression_predict,
+        node_regression_train,
+    )
+
+    g = _regression_graph(spark)
+    model = node_regression_train(
+        g, feature_cols=["f1", "f2"], target_col="y",
+        params=[{"model": "RANDOM_FOREST", "num_trees": 30,
+                 "max_depth": 8}],
+        seed=42,
+    )
+    pred = node_regression_predict(model, g)
+    assert pred.count() == 120
+    # forest on a deterministic grid target: far better than the mean
+    # predictor (y spans ~[-39, 53]; std ~ 18)
+    assert model.metrics["test"]["ROOT_MEAN_SQUARED_ERROR"] < 10.0

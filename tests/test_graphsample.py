@@ -90,3 +90,95 @@ def test_rwr_portable_hash_matches_semantics(spark):
     }
     # md5 mode is also deterministic and hits the budget
     assert len(s_md5) >= 12
+
+
+# ---------------------------------------------------------------------------
+# CNARW
+# ---------------------------------------------------------------------------
+def test_cnarw_weights_bias(spark):
+    """Edges into a shared-neighbour-rich target get LOWER weight."""
+    from graph_data_science_spark.operators.graphsample import (
+        cnarw_weights,
+    )
+
+    # 0 -> {1, 2}; 0 and 1 share neighbour 2 (0->2, 1->2); 0 and 2
+    # share nothing. So weight(0->1) < weight(0->2).
+    g = from_edge_list(spark, [(0, 1), (0, 2), (1, 2)])
+    w = {
+        (r.src, r.dst): r.w_int
+        for r in cnarw_weights(g).collect()
+    }
+    assert w[(0, 1)] < w[(0, 2)]
+    # prefix ranges tile [0, tot) per src
+    rows = sorted(
+        (r.lo, r.w_int)
+        for r in cnarw_weights(g).filter("src = 0").collect()
+    )
+    assert rows[0][0] == 0
+    assert rows[1][0] == rows[0][1]
+
+
+def test_cnarw_deterministic_and_partition_invariant(spark):
+    from graph_data_science_spark.operators.graphsample import (
+        cnarw_sample_nodes,
+    )
+
+    edges = [(i, (i * 3 + 1) % 40) for i in range(40)] + [
+        (i, (i * 7 + 2) % 40) for i in range(40)
+    ]
+    g1 = from_edge_list(spark, edges)
+    g2 = from_edge_list(spark, edges)
+    g2.edges = g2.edges.repartition(13)
+    kw = dict(
+        sampling_ratio=0.5, start_nodes=[0], walks_per_batch=16,
+        walk_length=6, max_batches=4,
+    )
+    a = sorted(r.internal_id for r in cnarw_sample_nodes(g1, **kw).collect())
+    b = sorted(r.internal_id for r in cnarw_sample_nodes(g2, **kw).collect())
+    assert a == b and len(a) >= 20
+
+
+def test_cnarw_escapes_clique_faster_than_rwr(spark):
+    """On a clique with a thin path attached, CNARW's common-neighbour
+    penalty pushes walks toward the path exit, so it visits at least as
+    many path nodes as uniform RWR under the same budget."""
+    from graph_data_science_spark.operators.graphsample import (
+        cnarw_sample_nodes,
+        rwr_sample_nodes,
+    )
+
+    k = 8
+    clique = [(i, j) for i in range(k) for j in range(k) if i != j]
+    path = [(k - 1, k), (k, k - 1)]
+    for i in range(k, k + 12):
+        path += [(i, i + 1), (i + 1, i)]
+    g = from_edge_list(spark, clique + path)
+    kw = dict(
+        sampling_ratio=1.0, start_nodes=[0], walks_per_batch=24,
+        walk_length=10, max_batches=2, stall_batches=8,
+    )
+    cn_nodes = {
+        r.internal_id for r in cnarw_sample_nodes(g, **kw).collect()
+    }
+    rwr_nodes = {
+        r.internal_id for r in rwr_sample_nodes(g, **kw).collect()
+    }
+    cn_path = sum(1 for v in cn_nodes if v >= k)
+    rwr_path = sum(1 for v in rwr_nodes if v >= k)
+    assert cn_path >= rwr_path
+    assert cn_path >= 2  # actually escaped
+
+
+def test_cnarw_induced_subgraph(spark):
+    from graph_data_science_spark.operators.graphsample import (
+        cnarw_sample,
+    )
+
+    g = from_edge_list(spark, [(i, i + 1) for i in range(30)])
+    sub = cnarw_sample(
+        g, sampling_ratio=0.4, start_nodes=[0], walks_per_batch=8,
+        walk_length=5, max_batches=8,
+    )
+    nodes = {r.internal_id for r in sub.vertices.collect()}
+    for e in sub.edges.collect():
+        assert e.src in nodes and e.dst in nodes

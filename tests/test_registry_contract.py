@@ -46,6 +46,35 @@ def test_prefix_order_pinned():
     assert tuple(names[: len(EXPECTED_PREFIX)]) == EXPECTED_PREFIX
 
 
+def test_no_duplicate_keys_across_registry_parts():
+    """The merged registry is ``{**base, **ext, **ext2}`` — a key reused
+    in two parts silently drops one query (round-4 found ext2's graph
+    kmeans check shadowing ext's pipeline Lloyd-invariant check under
+    the same ``kmeans_validity`` name). Dict literals de-dupe before we
+    can see them, so compare part-by-part."""
+    from graph_data_science_spark.driver_contract_ext import (
+        ext_oracle_sql, ext_queries)
+    from graph_data_science_spark.driver_contract_ext2 import (
+        ext2_oracle_sql, ext2_queries)
+
+    base_q = dc._base_queries()
+    parts = {"base": base_q, "ext": ext_queries(), "ext2": ext2_queries()}
+    for (na, a), (nb, b) in [
+        (("base", base_q), ("ext", parts["ext"])),
+        (("base", base_q), ("ext2", parts["ext2"])),
+        (("ext", parts["ext"]), ("ext2", parts["ext2"])),
+    ]:
+        shared = set(a) & set(b)
+        assert not shared, f"query key(s) in both {na} and {nb}: {shared}"
+    merged_o = dc.oracle_sql()
+    part_o = sum(len(p) for p in
+                 ({k: 1 for k in ext_oracle_sql()},
+                  {k: 1 for k in ext2_oracle_sql()}))
+    # oracle_sql merges base's literal dict with ext/ext2; base oracle
+    # count = merged minus the two ext parts only if nothing collided
+    assert len(merged_o) >= part_o
+
+
 def test_every_query_has_oracle_or_validity_sibling():
     qs = dc.queries()
     oracles = dc.oracle_sql()
