@@ -425,6 +425,7 @@ def _emit_scatter(
     bucket_edges: np.ndarray,
     reducer: str,
     use_weights: bool,
+    msg_dtype=None,
 ) -> None:
     """Scatter ``send`` along the given CSR chunks and append kind-1
     message rows to ``rows``. ``chunks`` is a (chunk_no, arrays) list —
@@ -432,7 +433,17 @@ def _emit_scatter(
     shard's subset). Chunks within a bucket hold DISJOINT dst runs
     (_build_chunks never splits a dst across chunks), so per-shard
     partial message rows stay exact for every reducer and the receiving
-    side's sender-sorted combine order stays deterministic."""
+    side's sender-sorted combine order stays deterministic.
+
+    ``msg_dtype=np.int32`` (min/max reducers, unweighted, integer-valued
+    sends < 2^31 only — validated by run_fused): per-edge gathers, the
+    message sort and the shuffled pay2 payload all carry int32 instead
+    of float64 — 8 B/message instead of 12 and roughly half the
+    memory-bandwidth per superstep, which is what the full-frontier
+    supersteps are bound by at high core counts (BENCH.md). Exact: the
+    integer labels are preserved bit-for-bit, NaN "don't send" maps to
+    an INT32_MAX/INT32_MIN sentinel that the reducer can never emit for
+    a vertex that received a real message."""
     if reducer == "labelvote":
         if np.isnan(send).all():
             return
@@ -488,6 +499,13 @@ def _emit_scatter(
     if n_nan >= len(send):
         return
     all_sent = n_nan == 0 and not use_weights
+    int_mode = msg_dtype is not None
+    if int_mode:
+        # sentinel: a value the min/max over real messages can never
+        # take (run_fused validates values fit int32)
+        sentinel = (
+            np.int32(2**31 - 1) if reducer == "min" else np.int32(-(2**31))
+        )
     for _cno, chunk in chunks:
         src_ids, dst_ids, dst_offsets, src_idx, weights = chunk
         sel = send[src_ids - base]
@@ -497,6 +515,10 @@ def _emit_scatter(
             # no source in this chunk sends — O(n_src) check instead of
             # the O(E) per-edge pipeline below
             continue
+        if int_mode:
+            # one O(n_src) conversion; every O(E) step below then moves
+            # 4-byte lanes instead of 8-byte ones
+            sel = np.where(act, sel, float(sentinel)).astype(np.int32)
         if n_act * 16 < len(sel) and not all_sent:
             # sparse frontier (convergence tail): touch only the active
             # sources' edges. One O(E) bool gather finds them; their dst
@@ -571,6 +593,18 @@ def _emit_scatter(
                 accm = np.maximum.reduceat(per_edge, starts)
             verts = dst_ids
             vals = accm
+        elif int_mode:
+            # the sentinel rides through the reduction and marks
+            # untouched dsts afterwards — no per-edge sent mask, no
+            # cnts reduceat, two fewer O(E) temporaries than the float
+            # masked path below
+            red = np.minimum if reducer == "min" else np.maximum
+            accm = red.reduceat(per_edge, starts)
+            touched = accm != sentinel
+            if not touched.any():
+                continue
+            verts = dst_ids[touched]
+            vals = accm[touched]
         else:
             sent = ~np.isnan(per_edge)
             if not sent.any():
@@ -661,6 +695,7 @@ def run_fused(
     chunk_size: int = 1,
     adaptive_chunk_max: int | None = None,
     adaptive_threshold: float = 0.05,
+    msg_dtype=None,
     spark=None,
 ) -> FusedResult:
     """Superstep loop over blob state.
@@ -700,6 +735,19 @@ def run_fused(
     """
     if spark is None:
         raise ValueError("spark session required")
+    if msg_dtype is not None:
+        # int32 message lanes are exact ONLY when every sent value is an
+        # integer in (-2^31, 2^31-1) — i.e. label/id-valued computes —
+        # and the reducer is a lattice op (min/max picks one of the
+        # inputs; sum/count would overflow and labelvote ships float
+        # weights). The caller asserts the value range (wcc checks
+        # n_vertices); here we pin the reducer contract.
+        if reducer not in ("min", "max") or use_weights:
+            raise ValueError(
+                "msg_dtype=int32 requires an unweighted min/max reducer"
+            )
+        if np.dtype(msg_dtype) != np.int32:
+            raise ValueError("only int32 msg_dtype is supported")
     nb, bw = csr.n_buckets, csr.bucket_width
     n_vertices = csr.n_vertices
     block_dir = csr.block_dir
@@ -734,7 +782,7 @@ def run_fused(
         ]
         _emit_scatter(
             rows, send, chunks, base, bucket, bw, nb, bucket_edges,
-            reducer, use_weights,
+            reducer, use_weights, msg_dtype,
         )
         # kind-3 lineage-only row: this shard task's wall time (ignored
         # by the gather; read by the checkpoint lineage pass, then dies)
@@ -810,14 +858,15 @@ def run_fused(
                 if len(midx) > 1:
                     senders = pdf["active"].to_numpy()[midx]
                     midx = midx[np.argsort(senders, kind="stable")]
+                val_np = np.int32 if msg_dtype is not None else np.float64
                 vs = [np.frombuffer(p1[i], dtype=np.int32) for i in midx]
-                ms = [np.frombuffer(p2[i], dtype=np.float64) for i in midx]
+                ms = [np.frombuffer(p2[i], dtype=val_np) for i in midx]
                 if vs:
                     allv = np.concatenate(vs) if len(vs) > 1 else vs[0]
                     allm = np.concatenate(ms) if len(ms) > 1 else ms[0]
                 else:
                     allv = np.empty(0, np.int32)
-                    allm = np.empty(0, np.float64)
+                    allm = np.empty(0, val_np)
                 if reducer == "labelvote":
                     p3 = pdf["pay3"].to_numpy()
                     ws_ = [
@@ -845,12 +894,25 @@ def run_fused(
                     elif reducer == "count":
                         acc = cnt.copy()
                     else:
-                        # min/max: sort by target, segment-reduce
+                        # min/max: sort by target, segment-reduce (the
+                        # sort and gather run in int32 lanes when
+                        # msg_dtype is set — the combine result is then
+                        # widened once, O(width) not O(messages))
                         if reducer == "min":
-                            acc = np.full(width, np.inf)
+                            acc = np.full(
+                                width,
+                                2**31 - 1 if msg_dtype is not None
+                                else np.inf,
+                                dtype=allm.dtype,
+                            )
                             red = np.minimum
                         else:
-                            acc = np.full(width, -np.inf)
+                            acc = np.full(
+                                width,
+                                -(2**31) if msg_dtype is not None
+                                else -np.inf,
+                                dtype=allm.dtype,
+                            )
                             red = np.maximum
                         if len(allv):
                             order = np.argsort(allv, kind="stable")
@@ -860,6 +922,8 @@ def run_fused(
                                 np.r_[True, sv[1:] != sv[:-1]]
                             )[0]
                             acc[sv[starts]] = red.reduceat(sm, starts)
+                        if msg_dtype is not None:
+                            acc = acc.astype(np.float64)
                     msg_mask = cnt > 0
                     msg_vals = acc
 
@@ -900,7 +964,7 @@ def run_fused(
                     _emit_scatter(
                         rows, send, load_bucket_chunks(block_dir, bucket),
                         base, bucket, bw, nb, bucket_edges, reducer,
-                        use_weights,
+                        use_weights, msg_dtype,
                     )
             # the first row is this bucket's state row: record the task's
             # own wall time so lineage shows true per-partition balance

@@ -188,3 +188,57 @@ def test_fused_hub_sharding_labelvote(spark):
     finally:
         del os.environ["GDS_HUB_SHARD_EDGES"]
     assert plain == sharded
+
+
+def test_int32_message_mode_bit_identical_to_float(spark):
+    """WCC's int32 message lanes must produce the identical component
+    assignment as the float64 path (integer labels are exact in both),
+    including under hub sharding and sparse-frontier tails."""
+    import numpy as np
+
+    from graph_data_science_spark.graph import from_edge_df
+    from graph_data_science_spark.operators.wcc import (
+        build_wcc_csr,
+        _wcc_fused,
+    )
+    from graph_data_science_spark.plans import fused as fused_mod
+
+    rng = np.random.default_rng(5)
+    n = 400
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, (700, 2))
+        if a != b
+    ] + [(0, i) for i in range(1, 60)]  # hub
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(edges, "src long, dst long").withColumn(
+        "weight", F.lit(1.0)
+    )
+    g = from_edge_df(e, weight="weight")
+
+    def run(force_float):
+        csr = build_wcc_csr(g, n_buckets=4)
+        orig = fused_mod.run_fused
+        if force_float:
+            def patched(*a, **kw):
+                kw["msg_dtype"] = None
+                return orig(*a, **kw)
+
+            fused_mod.run_fused = patched
+        try:
+            out = sorted(
+                map(
+                    tuple,
+                    _wcc_fused(
+                        g, csr, max_iterations=64, chunk_size=3
+                    ).collect(),
+                )
+            )
+        finally:
+            if force_float:
+                fused_mod.run_fused = orig
+            csr.cleanup()
+        return out
+
+    assert run(False) == run(True)
