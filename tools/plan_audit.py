@@ -93,6 +93,14 @@ DEFAULT_QUERIES = [
     "sllpa",
     "heavy_hitters",
     "tfidf_vectors",
+    "node_similarity_weighted",
+    "filtered_node_similarity",
+    "max_k_cut",
+    "hdbscan",
+    "node_regression",
+    "prize_steiner",
+    "cnarw_sample",
+    "multimodal_video_raw",
 ]
 
 
